@@ -1,0 +1,83 @@
+"""FASTA/FASTQ(.gz) streaming parser (kseq-equivalent, host side).
+
+The reference parses reads with htslib's kseq over gzip streams
+(src/Commons.hpp:82, ReadParserParallel src/Commons.hpp:5732-5850) in file
+order across one or more input files listed in tmp/input.txt. This parser
+reproduces that ordering and tolerates multi-line FASTA, FASTQ, and mixed
+inputs.
+"""
+
+import dataclasses
+import gzip
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Read:
+    index: int
+    header: str
+    seq: np.ndarray    # uint8 ascii
+    qual: np.ndarray   # uint8 ascii, empty for fasta
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def iter_reads(paths, max_reads: int | None = None):
+    """Yields Read records over one or more fasta/fastq[.gz] files."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    index = 0
+    empty = np.zeros(0, dtype=np.uint8)
+    for path in paths:
+        with _open(str(path)) as f:
+            header = None
+            seq_parts = []
+            is_fastq = False
+            line = f.readline()
+            while line:
+                if max_reads is not None and index >= max_reads:
+                    return
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b"@"):          # fastq record
+                    header = line[1:].decode()
+                    seq = f.readline().rstrip(b"\r\n")
+                    f.readline()                    # +
+                    qual = f.readline().rstrip(b"\r\n")
+                    yield Read(index, header,
+                               np.frombuffer(seq, dtype=np.uint8),
+                               np.frombuffer(qual, dtype=np.uint8))
+                    index += 1
+                    line = f.readline()
+                elif line.startswith(b">"):        # fasta record (multi-line)
+                    header = line[1:].decode()
+                    seq_parts = []
+                    line = f.readline()
+                    while line and not line.startswith(b">") and not line.startswith(b"@"):
+                        seq_parts.append(line.rstrip(b"\r\n"))
+                        line = f.readline()
+                    yield Read(index, header,
+                               np.frombuffer(b"".join(seq_parts), dtype=np.uint8),
+                               empty)
+                    index += 1
+                else:
+                    line = f.readline()
+
+
+def write_fasta(path: str, records, gzipped: bool | None = None):
+    """records: iterable of (header, sequence-str-or-bytes)."""
+    if gzipped is None:
+        gzipped = path.endswith(".gz")
+    opener = gzip.open if gzipped else open
+    with opener(path, "wb") as f:
+        for header, seq in records:
+            if isinstance(seq, str):
+                seq = seq.encode()
+            f.write(b">" + header.encode() + b"\n")
+            for i in range(0, len(seq), 80):
+                f.write(seq[i:i + 80] + b"\n")

@@ -1,0 +1,78 @@
+"""Synthetic read-set generator for parity and benchmark tests.
+
+Generates a random genome and samples long reads (HiFi-like: low error, or
+ONT-like: higher error) with quality strings, written as fastq[.gz]. Used to
+produce inputs on which the reference binary (.refbuild) and metamdbg_tpu are
+compared stage by stage.
+"""
+
+import gzip
+
+import numpy as np
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def random_genome(length: int, seed: int = 0, circular: bool = True) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return BASES[rng.integers(0, 4, size=length)]
+
+
+def _revcomp(seq: np.ndarray) -> np.ndarray:
+    comp = np.zeros(256, dtype=np.uint8)
+    comp[ord("A")] = ord("T")
+    comp[ord("T")] = ord("A")
+    comp[ord("C")] = ord("G")
+    comp[ord("G")] = ord("C")
+    return comp[seq[::-1]]
+
+
+def sample_reads(genome: np.ndarray, coverage: float, mean_length: int,
+                 error_rate: float = 0.0, seed: int = 1, circular: bool = True,
+                 mean_quality: int = 30):
+    """Yields (header, seq_bytes, qual_bytes) tuples."""
+    rng = np.random.default_rng(seed)
+    g = genome
+    n = g.shape[0]
+    total = int(n * coverage)
+    emitted = 0
+    read_id = 0
+    while emitted < total:
+        length = max(200, int(rng.normal(mean_length, mean_length / 6)))
+        start = int(rng.integers(0, n))
+        if circular:
+            idx = (start + np.arange(length)) % n
+            seq = g[idx]
+        else:
+            length = min(length, n - start)
+            seq = g[start:start + length]
+        seq = seq.copy()
+        if error_rate > 0:
+            nerr = rng.binomial(length, error_rate)
+            if nerr:
+                pos = rng.integers(0, length, size=nerr)
+                seq[pos] = BASES[(np.searchsorted(BASES, seq[pos]) + rng.integers(1, 4, size=nerr)) % 4]
+        if rng.random() < 0.5:
+            seq = _revcomp(seq)
+        qual = np.clip(rng.normal(mean_quality, 3, size=length), 3, 60).astype(np.uint8) + 33
+        yield f"read_{read_id}", seq, qual
+        emitted += length
+        read_id += 1
+
+
+def write_fastq(path: str, reads):
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        for header, seq, qual in reads:
+            f.write(b"@" + header.encode() + b"\n")
+            f.write(seq.tobytes() + b"\n+\n")
+            f.write(qual.tobytes() + b"\n")
+
+
+def make_test_fastq(path: str, genome_len: int = 100_000, coverage: float = 20,
+                    mean_length: int = 8000, error_rate: float = 0.001,
+                    seed: int = 0):
+    genome = random_genome(genome_len, seed=seed)
+    write_fastq(path, sample_reads(genome, coverage, mean_length, error_rate,
+                                   seed=seed + 1))
+    return genome

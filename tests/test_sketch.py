@@ -1,0 +1,83 @@
+"""Unit tests for the sketching primitives (independent of the reference binary)."""
+
+import numpy as np
+
+from metamdbg_tpu.sketch import filters, kmers, minimizers, palindrome, rle
+
+COMP = {65: 84, 84: 65, 67: 71, 71: 67}  # A<->T, C<->G
+
+
+def _revcomp_bytes(seq):
+    return np.array([COMP[int(b)] for b in seq[::-1]], dtype=np.uint8)
+
+
+def _rand_seq(rng, n):
+    return np.frombuffer(bytes(rng.choice(list(b"ACGT"), size=n).tolist()), np.uint8)
+
+
+def test_canonical_kmers_strand_invariant():
+    rng = np.random.default_rng(0)
+    seq = _rand_seq(rng, 500)
+    rc = _revcomp_bytes(seq)
+    for l in (5, 15, 16):
+        c1, b1 = kmers.base_codes(seq)
+        c2, b2 = kmers.base_codes(rc)
+        v1, d1, _ = kmers.canonical_kmers(c1, b1, l)
+        v2, d2, _ = kmers.canonical_kmers(c2, b2, l)
+        np.testing.assert_array_equal(v1, v2[::-1])
+        # opposite strands flip direction except for palindromic kmers
+        pal = v1 == v1  # placeholder: directions flip where fwd != rc
+        flip = d1 != d2[::-1]
+        assert flip.mean() > 0.9
+
+
+def test_invalid_windows_masked():
+    seq = np.frombuffer(b"ACGTNACGTACGTAC", np.uint8)
+    codes, bad = kmers.base_codes(seq)
+    v, _, valid = kmers.canonical_kmers(codes, bad, 5)
+    assert not valid[0] and not valid[4]
+    assert valid[5]
+    assert (v[~valid] == kmers.INVALID_KMER).all()
+
+
+def test_minimizer_selection_strand_invariant():
+    rng = np.random.default_rng(1)
+    seq = _rand_seq(rng, 20000)
+    rc = _revcomp_bytes(seq)
+    c1, b1 = kmers.base_codes(seq)
+    c2, b2 = kmers.base_codes(rc)
+    m1, p1, _ = minimizers.select_minimizers(c1, b1, 15, 0.02)
+    m2, p2, _ = minimizers.select_minimizers(c2, b2, 15, 0.02)
+    np.testing.assert_array_equal(m1, m2[::-1])
+    # positions mirror: pos on rc = n - l - pos
+    np.testing.assert_array_equal(p1, (seq.shape[0] - 15 - p2[::-1].astype(int)))
+
+
+def test_rle_roundtrip():
+    seq = np.frombuffer(b"AAACCGTTTTA", np.uint8)
+    r, pos = rle.rle_encode(seq, True)
+    assert bytes(r) == b"ACGTA"
+    np.testing.assert_array_equal(pos, [0, 3, 5, 6, 10, 11])
+    r2, pos2 = rle.rle_encode(seq, False)
+    assert bytes(r2) == bytes(seq)
+    assert pos2.shape[0] == seq.shape[0]
+
+
+def test_complexity_flags_low_complexity():
+    rng = np.random.default_rng(2)
+    random_seq = _rand_seq(rng, 2000)
+    homopoly = np.frombuffer(b"ACACACACAC" * 200, np.uint8)
+    assert filters.sequence_complexity(random_seq) < 5
+    assert filters.sequence_complexity(homopoly) > 5
+    # short read: no complete window -> NaN (kept)
+    assert np.isnan(filters.sequence_complexity(random_seq[:50]))
+
+
+def test_purge_palindrome_removes_mirror():
+    # palindrome at k=3: [5, 9, 5] -> first position banned
+    m = np.array([1, 2, 5, 9, 5, 7, 8], dtype=np.uint32)
+    out = palindrome.purge_palindrome(m, 3, 10)
+    assert 5 not in out[:3].tolist() or out.shape[0] < m.shape[0]
+    # no palindrome: untouched
+    m2 = np.array([1, 2, 3, 4, 5], dtype=np.uint32)
+    np.testing.assert_array_equal(palindrome.purge_palindrome(m2, 3, 10), m2)
