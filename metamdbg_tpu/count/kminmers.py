@@ -1,0 +1,205 @@
+"""k-min-mer extraction and counting (vectorized host path).
+
+Method semantics (reference):
+- a k-min-mer is a window of k consecutive minimizers of a read, canonicalized
+  by lexicographic min(seq, reversed seq) (MDBG::getKminmers_complete #else
+  branch, src/Commons.hpp:5284-5358; KmerVec::normalize src/Commons.hpp:886);
+- counting groups identical k-min-mers; solid = abundance > 1 (and
+  >= --min-abundance on the first pass) (KminmerCounter::dumpKminmer,
+  src/graph/CreateMdbg.hpp:3862-3883);
+- rescue: reads whose median solid abundance is <= 10 (exactly:
+  double(float(median) * 0.1f) <= 1) contribute their abundance-1 k-min-mers
+  at count 1, unless the whole read is abundance-1
+  (RescueKminmerFunctor, src/graph/CreateMdbg.hpp:4562-4640).
+
+The reference hash-shards k-min-mers to disk partitions and sorts each; we
+sort the whole (N, k) u32 array at once (np.lexsort host / on-device radix
+sort later) — identical grouping, no partition files. The TPU scale-out
+shards this table by hash128 across chips with all_to_all routing
+(parallel/count_table.py).
+"""
+
+import numpy as np
+
+from ..utils.hashing import murmur128_u32rows
+
+
+def extract_kminmers(minimizers: np.ndarray, k: int):
+    """All normalized k-windows of one read's minimizer array.
+
+    Returns ((n-k+1, k) u32 normalized windows, (n-k+1,) bool is_reversed).
+    """
+    minimizers = np.asarray(minimizers, dtype=np.uint32)
+    n = minimizers.shape[0]
+    if n < k:
+        return np.zeros((0, k), np.uint32), np.zeros(0, bool)
+    windows = np.lib.stride_tricks.sliding_window_view(minimizers, k)
+    return normalize_rows(windows)
+
+
+def normalize_rows(windows: np.ndarray):
+    """KmerVec::normalize over rows: lexicographic min(row, reversed row).
+
+    Ties (palindromes) pick the reversed copy, matching normalize(bool&)
+    (src/Commons.hpp:886-916: equality falls through to isReversed=true).
+    Returns (normalized rows, is_reversed bool).
+    """
+    windows = np.ascontiguousarray(windows, dtype=np.uint32)
+    rev = windows[:, ::-1]
+    # first column where they differ decides; all-equal -> reversed
+    neq = windows != rev
+    first = np.where(neq.any(axis=1), neq.argmax(axis=1), windows.shape[1] - 1)
+    r = np.arange(windows.shape[0])
+    fw_val = windows[r, first]
+    rv_val = rev[r, first]
+    is_reversed = ~(fw_val < rv_val)  # equal -> reversed
+    out = np.where(is_reversed[:, None], rev, windows)
+    return np.ascontiguousarray(out), is_reversed
+
+
+def batch_extract_kminmers(reads: list, k: int):
+    """Concatenated normalized windows for many reads.
+
+    Returns (rows (N,k) u32, read_ids (N,) int64, is_reversed (N,) bool,
+    read_offsets) — rows in read order, windows in position order.
+    """
+    rows = []
+    read_ids = []
+    revs = []
+    offsets = [0]
+    for i, m in enumerate(reads):
+        w, r = extract_kminmers(m, k)
+        rows.append(w)
+        revs.append(r)
+        read_ids.append(np.full(w.shape[0], i, dtype=np.int64))
+        offsets.append(offsets[-1] + w.shape[0])
+    if rows:
+        return (np.concatenate(rows), np.concatenate(read_ids),
+                np.concatenate(revs), np.asarray(offsets))
+    return (np.zeros((0, k), np.uint32), np.zeros(0, np.int64),
+            np.zeros(0, bool), np.asarray(offsets))
+
+
+def sort_rows_lex(rows: np.ndarray) -> np.ndarray:
+    """Indices sorting rows lexicographically (first column most significant)."""
+    return np.lexsort(tuple(rows[:, j] for j in range(rows.shape[1] - 1, -1, -1)))
+
+
+def count_unique_rows(rows: np.ndarray):
+    """Group identical rows: returns (unique_rows sorted lex, counts)."""
+    if rows.shape[0] == 0:
+        return rows, np.zeros(0, np.uint32)
+    order = sort_rows_lex(rows)
+    s = rows[order]
+    new_group = np.empty(s.shape[0], dtype=bool)
+    new_group[0] = True
+    np.not_equal(s[1:], s[:-1]).any(axis=1, out=new_group[1:])
+    starts = np.flatnonzero(new_group)
+    counts = np.diff(np.append(starts, s.shape[0])).astype(np.uint32)
+    return s[starts], counts
+
+
+def count_kminmers(reads: list, k: int, min_abundance: int = 0):
+    """First-pass counting + rescue. Returns a dict with:
+
+    - 'solid_rows', 'solid_counts': abundance>1 (>= min_abundance) kminmers
+    - 'rescued_rows': abundance-1 kminmers rescued at count 1 (deduplicated)
+    - 'all_rows', 'all_counts': the node set of the graph (solid + rescued)
+      with per-node abundance (rescued -> 1)
+    """
+    rows, read_ids, _, offsets = batch_extract_kminmers(reads, k)
+    uniq, counts = count_unique_rows(rows)
+
+    solid_mask = counts > 1
+    if min_abundance > 1:
+        solid_mask &= counts >= min_abundance
+    solid_rows = uniq[solid_mask]
+    solid_counts = counts[solid_mask]
+
+    rescued_rows = np.zeros((0, k), np.uint32)
+    if min_abundance <= 1 and rows.shape[0] > 0:
+        rescued_rows = _rescue(rows, read_ids, offsets, solid_rows, solid_counts, k)
+
+    if rescued_rows.shape[0]:
+        all_rows = np.concatenate([solid_rows, rescued_rows])
+        all_counts = np.concatenate(
+            [solid_counts, np.ones(rescued_rows.shape[0], np.uint32)])
+        order = sort_rows_lex(all_rows)
+        all_rows, all_counts = all_rows[order], all_counts[order]
+    else:
+        all_rows, all_counts = solid_rows, solid_counts
+
+    return dict(solid_rows=solid_rows, solid_counts=solid_counts,
+                rescued_rows=rescued_rows, all_rows=all_rows,
+                all_counts=all_counts)
+
+
+def _lookup_rows(query: np.ndarray, table: np.ndarray, values: np.ndarray,
+                 default):
+    """For each query row, value of the matching table row (lex-sorted table)."""
+    if query.shape[0] == 0 or table.shape[0] == 0:
+        dt = np.asarray(values).dtype if np.asarray(values).size else np.uint32
+        return (np.full(query.shape[0], default, dtype=dt),
+                np.zeros(query.shape[0], dtype=bool))
+    # compare via 128-bit hashes (collision probability ~2^-128)
+    qh = murmur128_u32rows(query)
+    th = murmur128_u32rows(table)
+    qkey = np.stack(qh, axis=1)
+    tkey = np.stack(th, axis=1)
+    torder = np.lexsort((tkey[:, 1], tkey[:, 0]))
+    tkey_s = tkey[torder]
+    vals_s = values[torder]
+    idx = _searchsorted_pairs(tkey_s, qkey)
+    idx_c = np.minimum(idx, tkey_s.shape[0] - 1)
+    hit = (tkey_s[idx_c] == qkey).all(axis=1) & (idx < tkey_s.shape[0])
+    out = np.full(query.shape[0], default, dtype=vals_s.dtype)
+    out[hit] = vals_s[idx_c[hit]]
+    return out, hit
+
+
+def _searchsorted_pairs(sorted_pairs: np.ndarray, queries: np.ndarray):
+    """searchsorted over (N,2) u64 keys ordered by (col0, col1)."""
+    # pack into float-free order-preserving comparison via two-level search
+    lo = np.searchsorted(sorted_pairs[:, 0], queries[:, 0], side="left")
+    hi = np.searchsorted(sorted_pairs[:, 0], queries[:, 0], side="right")
+    out = lo.copy()
+    ambiguous = hi > lo
+    if ambiguous.any():
+        amb = np.flatnonzero(ambiguous)
+        for i in amb.tolist():
+            seg = sorted_pairs[lo[i]:hi[i], 1]
+            out[i] = lo[i] + np.searchsorted(seg, queries[i, 1], side="left")
+    return out
+
+
+def _rescue(rows, read_ids, offsets, solid_rows, solid_counts, k):
+    """RescueKminmerFunctor semantics (src/graph/CreateMdbg.hpp:4579-4637)."""
+    abundances, hit = _lookup_rows(rows, solid_rows, solid_counts.astype(np.uint32), 1)
+    nreads = offsets.shape[0] - 1
+
+    rescued = []
+    for r in range(nreads):
+        a, b = offsets[r], offsets[r + 1]
+        if a == b:
+            continue
+        ab = abundances[a:b]
+        isin = hit[a:b]
+        if not isin.any():
+            continue  # allAbundanceOne
+        s = np.sort(ab)
+        n = s.shape[0]
+        if n % 2 == 0:  # u32 integer mean (Utils::compute_median, Commons.hpp:2982)
+            med = ((int(s[n // 2 - 1]) + int(s[n // 2])) & 0xFFFFFFFF) // 2
+        else:
+            med = int(s[n // 2])
+        cutoff = np.float64(np.float32(med) * np.float32(0.1))
+        if cutoff > 1:
+            continue
+        weak = rows[a:b][~isin]
+        if weak.shape[0]:
+            rescued.append(weak)
+    if not rescued:
+        return np.zeros((0, k), np.uint32)
+    cat = np.concatenate(rescued)
+    uniq, _ = count_unique_rows(cat)
+    return uniq
