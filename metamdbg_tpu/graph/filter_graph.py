@@ -22,7 +22,8 @@ def rc(index: int) -> int:
 
 class FilterNode:
     __slots__ = ("name", "nb_minimizers", "abundances", "abundance",
-                 "succ_fwd", "succ_rev", "unitig_merge", "is_reversed")
+                 "succ_fwd", "succ_rev", "unitig_merge", "is_reversed",
+                 "is_edge_node")
 
     def __init__(self, name: int, nb_minimizers: int):
         self.name = name
@@ -33,6 +34,7 @@ class FilterNode:
         self.succ_rev: list = []
         self.unitig_merge: list = []
         self.is_reversed = False
+        self.is_edge_node = False
 
     def compute_median(self):
         a = self.abundances

@@ -1,0 +1,467 @@
+"""k -> k+1 multiplex pass (k > firstK+1): re-solve junctions on the previous
+unitig graph instead of rebuilding from reads.
+
+Mirrors src/graph/CreateMdbg.cpp:386-476 (in-memory counting via
+IndexKminmerFunctor, src/graph/CreateMdbg.hpp:940-1465) and
+computeNextUnitigGraph (cpp:3712-5714):
+
+- k-min-mers of reads + previous contigs are "counted" with abundance =
+  min of the two spanning prev-k refined abundances; first occurrence wins;
+  entries <= 1 dropped;
+- contigs shorter than k minimizers with abundance > 1 become small contigs
+  (k > 8);
+- solveEdges (cpp:3903-4060): every edge between non-small unitigs is
+  replaced by a 2-hop path through a new "edge node" holding the junction
+  k-min-mer, if that k-min-mer exists; otherwise the edge is dropped;
+- removeUnsupportedUnitigs (cpp:4138-4272): unitigs containing any
+  non-existent k-window are removed;
+- solveSmallUnitigs (cpp:4275-4752): single-kminmer unitigs are resolved
+  through supported pred/succ triplets;
+- writeUnitigs (cpp:5049-5714): recompact, rename, and write the new
+  unitigGraph.* files (single-thread write order).
+"""
+
+import os
+import struct
+
+import numpy as np
+
+from ..count.kminmers import normalize_rows
+from ..io import records
+from ..utils.hashing import murmur128_u32rows
+from . import gio
+from .filter_graph import FilterGraph, FilterNode, rc
+
+F32 = np.float32
+
+
+def _hash_norm(seq: np.ndarray) -> tuple:
+    norm, _ = normalize_rows(np.asarray(seq, np.uint32)[None, :])
+    h1, h2 = murmur128_u32rows(norm)
+    return (int(h1[0]), int(h2[0]))
+
+
+def _window_hashes(seq: np.ndarray, w: int) -> list:
+    seq = np.asarray(seq, np.uint32)
+    if seq.shape[0] < w:
+        return []
+    wins = np.lib.stride_tricks.sliding_window_view(seq, w)
+    norm, _ = normalize_rows(wins)
+    h1, h2 = murmur128_u32rows(norm)
+    return list(zip(h1.tolist(), h2.tolist()))
+
+
+class MultiplexPass:
+
+    def __init__(self, out_dir: str, k: int, params: records.Parameters):
+        self.out_dir = out_dir
+        self.k = k
+        self.k_prev = k - 1
+        self.params = params
+        self.kminmers: dict = {}          # hash128 -> abundance (u32)
+        self.sequences: list = []          # unitigName -> minimizer seq
+        self.graph: FilterGraph | None = None
+
+    # ------------------------------------------------------------------
+    def run(self):
+        self._count_kminmers()
+        self._load_prev_graph()
+        self._solve_edges()
+        self._remove_unsupported()
+        self._solve_small_unitigs()
+        self._write_unitigs()
+
+    # ------------------------------------------------------------------
+    def _refined_prev_index(self) -> dict:
+        """loadRefinedAbundances (cpp:3401-3709) as a plain dict."""
+        table: dict = {}
+        keys, counts = gio.read_kminmer_abundances(
+            os.path.join(self.out_dir, "kminmerData_abundance_prev.txt"))
+        for key, cnt in zip(map(tuple, keys.tolist()), counts.tolist()):
+            if cnt == 1:
+                continue
+            table[key] = cnt
+        refined = {}
+        with open(os.path.join(self.out_dir,
+                               "unitigGraph.nodes.refined_abundances.bin"), "rb") as f:
+            for name, ab in struct.iter_unpack("<II", f.read()):
+                refined[name] = ab
+        for seq, idx in gio.read_unitig_nodes(
+                os.path.join(self.out_dir, "unitigGraph_prev.nodes.bin")):
+            name = idx // 2
+            if name not in refined:
+                continue
+            ab = refined[name]
+            for key in _window_hashes(seq, self.k_prev):
+                if ab == 1:
+                    if key in table:
+                        table[key] = 0
+                else:
+                    table[key] = ab
+        return table
+
+    def _count_kminmers(self):
+        """IndexKminmerFunctor over reads then previous contigs
+        (cpp:436-445); writes kminmerData_abundance.txt + small contigs."""
+        prev_index = self._refined_prev_index()
+        small_path = os.path.join(self.out_dir, "smallContigs",
+                                  f"smallContigs_k{self.k}.bin")
+        small_file = open(small_path, "wb")
+
+        def process(minimizers: np.ndarray, is_circular: int,
+                    extracting_contigs: bool):
+            prev_ab = [prev_index.get(key, 1)
+                       for key in _window_hashes(minimizers, self.k_prev)]
+            n_kminmers = max(0, minimizers.shape[0] - self.k + 1)
+            if (extracting_contigs and self.k > 8 and n_kminmers <= 0
+                    and prev_ab):
+                ab0 = prev_ab[0] if len(prev_ab) <= 1 else min(prev_ab[0], prev_ab[1])
+                if ab0 > 1:
+                    small_file.write(struct.pack("<IB", minimizers.shape[0],
+                                                 is_circular))
+                    small_file.write(minimizers.astype(np.uint32).tobytes())
+                return
+            if n_kminmers <= 0:
+                return
+            hashes = _window_hashes(minimizers, self.k)
+            for i, key in enumerate(hashes):
+                if len(prev_ab) <= 1:
+                    ab = prev_ab[0]
+                else:
+                    ab = min(prev_ab[i], prev_ab[i + 1])
+                if ab <= 1:
+                    continue
+                if key not in self.kminmers:   # first occurrence wins
+                    self.kminmers[key] = ab
+
+        for r in records.read_read_data(
+                os.path.join(self.out_dir, "read_data_corrected.txt"), False):
+            process(r.minimizers, 0 if not r.is_circular else 1, False)
+        for r in records.read_read_data(
+                os.path.join(self.out_dir, "unitig_data.txt"), False):
+            process(r.minimizers, 1 if r.is_circular else 0, True)
+        small_file.close()
+
+        # dump abundances (set semantics; reference iterates its hash map)
+        keys = np.array(sorted(self.kminmers.keys()), dtype=np.uint64).reshape(-1, 2) \
+            if self.kminmers else np.zeros((0, 2), np.uint64)
+        counts = np.array([self.kminmers[tuple(k)] for k in keys.tolist()],
+                          dtype=np.uint32)
+        out = np.empty((keys.shape[0], 20), np.uint8)
+        out[:, :8] = keys[:, 1:2].view(np.uint8).reshape(-1, 8)   # low u64 = h2
+        out[:, 8:16] = keys[:, 0:1].view(np.uint8).reshape(-1, 8)
+        out[:, 16:] = counts[:, None].view(np.uint8).reshape(-1, 4)
+        with open(os.path.join(self.out_dir, "kminmerData_abundance.txt"), "wb") as f:
+            f.write(out.tobytes())
+
+    # ------------------------------------------------------------------
+    def _load_prev_graph(self):
+        from .contigs import load_filter_graph
+
+        prev = records.Parameters(**{**self.params.__dict__,
+                                     "kminmer_size": self.k_prev})
+        # load_filter_graph reads unitigGraph.* names; use _prev copies
+        g = FilterGraph(self.k_prev, self.params.minimizer_spacing_mean,
+                        self.params.kminmer_length_mean)
+        nodes = gio.read_unitig_nodes(
+            os.path.join(self.out_dir, "unitigGraph_prev.nodes.bin"))
+        g.unitigs = [None] * len(nodes)
+        self.sequences = [None] * len(nodes)
+        for seq, idx in nodes:
+            node = FilterNode(idx // 2, seq.shape[0])
+            node.is_edge_node = False
+            g.unitigs[idx // 2] = node
+            self.sequences[idx // 2] = np.asarray(seq, np.uint32)
+        for idx, ab in gio.read_unitig_abundances(
+                os.path.join(self.out_dir, "unitigGraph_prev.nodes.abundances.bin")):
+            node = g.unitigs[idx // 2]
+            node.abundances = np.sort(np.asarray(ab, np.uint32))
+            node.abundance = node.compute_median()
+            if node.abundance == 0:
+                node.abundance = F32(1.0)
+        edges = gio.read_unitig_edges(
+            os.path.join(self.out_dir, "unitigGraph_prev.edges.successors.bin"))
+        for oriented, succ in edges.items():
+            node = g.unitigs[oriented // 2]
+            if oriented % 2:
+                node.succ_rev = sorted(succ.tolist())
+            else:
+                node.succ_fwd = sorted(succ.tolist())
+        self.graph = g
+
+    # ------------------------------------------------------------------
+    def _oriented_seq(self, index: int) -> np.ndarray:
+        seq = self.sequences[index // 2]
+        return seq[::-1] if index % 2 else seq
+
+    def _longest_overlap(self, seq1, edge1: bool, seq2, edge2: bool) -> int:
+        """longestOverlap2 (hpp:2981-2986)."""
+        kp = self.k_prev
+        if seq1.shape[0] == kp and seq2.shape[0] == kp:
+            return kp - 1
+        if edge1 or edge2:
+            return self.k - 1
+        return kp - 1
+
+    def _create_edge_node(self, minimizers: np.ndarray) -> FilterNode:
+        """createEdgeNode (cpp:4911-5046)."""
+        g = self.graph
+        name = len(g.unitigs)
+        node = FilterNode(name, minimizers.shape[0])
+        node.is_edge_node = True
+        g.unitigs.append(node)
+        self.sequences.append(np.asarray(minimizers, np.uint32))
+        ab = self.kminmers.get(_hash_norm(minimizers), 1)
+        node.abundances = np.array([ab], np.uint32)
+        node.abundance = node.compute_median()
+        return node
+
+    def _add_successor(self, frm: int, to: int):
+        node = self.graph.unitigs[frm // 2]
+        (node.succ_rev if frm % 2 else node.succ_fwd).append(to)
+
+    def _remove_successor(self, frm: int, to: int):
+        node = self.graph.unitigs[frm // 2]
+        lst = node.succ_rev if frm % 2 else node.succ_fwd
+        lst[:] = [x for x in lst if x != to]
+
+    # ------------------------------------------------------------------
+    def _solve_edges(self):
+        g = self.graph
+        kp = self.k_prev
+        nodes = [n for n in g.unitigs
+                 if n is not None and n.nb_minimizers != kp]
+        processed: set = set()
+        for node in nodes:
+            for index in (2 * node.name, 2 * node.name + 1):
+                successors = list(g.successors(index))
+                for succ in successors:
+                    succ_node = g.unitigs[succ // 2]
+                    if succ_node.nb_minimizers == kp:
+                        continue
+                    if succ // 2 in processed:
+                        continue
+                    # doublet = last prev-k window of source + head of succ
+                    pred_end = self._oriented_seq(index)[-kp:]
+                    succ_start = self._oriented_seq(succ)[:kp]
+                    doublet = np.concatenate([pred_end[:1], succ_start])
+                    supported = self.kminmers.get(_hash_norm(doublet), 0) >= 2
+                    if supported:
+                        edge_node = self._create_edge_node(doublet)
+                        processed.add(edge_node.name)
+                        eidx = 2 * edge_node.name
+                        self._add_successor(index, eidx)
+                        self._add_successor(rc(eidx), rc(index))
+                        self._add_successor(eidx, succ)
+                        self._add_successor(rc(succ), rc(eidx))
+                    self._remove_successor(index, succ)
+                    self._remove_successor(rc(succ), rc(index))
+            processed.add(node.name)
+
+    def _remove_unsupported(self):
+        g = self.graph
+        to_remove = []
+        for node in g.unitigs:
+            if node is None:
+                continue
+            seq = self.sequences[node.name]
+            for key in _window_hashes(seq, self.k):
+                if key not in self.kminmers:
+                    to_remove.append(node)
+                    break
+        for node in to_remove:
+            g.remove_node(node)
+
+    def _solve_small_unitigs(self):
+        g = self.graph
+        kp = self.k_prev
+        small = [n for n in g.unitigs
+                 if n is not None and n.nb_minimizers == kp]
+        for node in small:
+            self._solve_small_unitig(node)
+
+    def _solve_small_unitig(self, node: FilterNode):
+        """solveSmallUnitigsSub2 (cpp:4489-4752)."""
+        g = self.graph
+        index = 2 * node.name
+        predecessors = g.predecessors(index)
+        successors = list(g.successors(index))
+        minimizers = self.sequences[node.name]
+
+        supported_preds = []
+        for p in predecessors:
+            if p == index:
+                continue
+            pnode = g.unitigs[p // 2]
+            pmin = self._oriented_seq(p)
+            ov = self._longest_overlap(pmin, pnode.is_edge_node,
+                                       minimizers, node.is_edge_node)
+            triplet = np.concatenate([pmin[pmin.shape[0] - ov - 1: pmin.shape[0] - ov],
+                                      minimizers])
+            if _hash_norm(triplet) in self.kminmers:
+                supported_preds.append(p)
+
+        supported_succs = []
+        for s in successors:
+            if s == index:
+                continue
+            snode = g.unitigs[s // 2]
+            smin = self._oriented_seq(s)
+            ov = self._longest_overlap(minimizers, node.is_edge_node,
+                                       smin, snode.is_edge_node)
+            triplet = np.concatenate([minimizers, smin[ov: ov + 1]])
+            if _hash_norm(triplet) in self.kminmers:
+                supported_succs.append(s)
+
+        edge_nodes: dict = {}
+        for p in supported_preds:
+            key = (p, index)
+            if key in edge_nodes:
+                continue
+            pnode = g.unitigs[p // 2]
+            pmin = self._oriented_seq(p)
+            ov = self._longest_overlap(pmin, pnode.is_edge_node,
+                                       minimizers, node.is_edge_node)
+            seq = np.concatenate([pmin[pmin.shape[0] - ov - 1: pmin.shape[0] - ov],
+                                  minimizers])
+            en = self._create_edge_node(seq)
+            edge_nodes[key] = en
+            eidx = 2 * en.name
+            self._add_successor(p, eidx)
+            self._add_successor(rc(eidx), rc(p))
+        for s in supported_succs:
+            key = (index, s)
+            if key in edge_nodes:
+                continue
+            snode = g.unitigs[s // 2]
+            smin = self._oriented_seq(s)
+            ov = self._longest_overlap(minimizers, node.is_edge_node,
+                                       smin, snode.is_edge_node)
+            seq = np.concatenate([minimizers, smin[ov: ov + 1]])
+            en = self._create_edge_node(seq)
+            edge_nodes[key] = en
+            eidx = 2 * en.name
+            self._add_successor(eidx, s)
+            self._add_successor(rc(s), rc(eidx))
+
+        for p in supported_preds:
+            enp = edge_nodes.get((p, index))
+            if enp is None:
+                continue
+            for s in supported_succs:
+                ens = edge_nodes.get((index, s))
+                if ens is None:
+                    continue
+                self._add_successor(2 * enp.name, 2 * ens.name)
+                self._add_successor(rc(2 * ens.name), rc(2 * enp.name))
+
+        g.remove_node(node)
+
+    # ------------------------------------------------------------------
+    def _merged_sequence(self, node: FilterNode) -> np.ndarray:
+        """unitigsToMinimizers over the (possibly reversed) merge list
+        (hpp:3415-3513)."""
+        unitigs = node.unitig_merge if node.unitig_merge else [2 * node.name]
+        if node.is_reversed:
+            unitigs = [rc(x) for x in unitigs[::-1]]
+        out = None
+        prev = None
+        for idx in unitigs:
+            m = self._oriented_seq(idx)
+            if out is None:
+                out = m
+            else:
+                if (prev.shape[0] == self.k and m.shape[0] == self.k
+                        and np.array_equal(prev, m)):
+                    ov = self.k
+                else:
+                    ov = self.k - 1
+                out = np.concatenate([out, m[ov:]])
+            prev = m
+        return out
+
+    def _write_unitigs(self):
+        g = self.graph
+        kp = self.k_prev
+
+        # iterate live array: nodes merged away mid-loop are skipped (cpp:5163)
+        for i in range(len(g.unitigs)):
+            if g.unitigs[i] is not None:
+                g.recompact_node(g.unitigs[i])
+        for i in range(len(g.unitigs)):
+            node = g.unitigs[i]
+            if node is not None and not node.unitig_merge \
+                    and node.nb_minimizers == kp:
+                g.remove_node(node)
+
+        new_name = {}
+        idx = 0
+        for node in g.unitigs:
+            if node is None:
+                continue
+            new_name[node.name] = idx
+            idx += 1
+
+        nb_nodes = 0
+        with open(os.path.join(self.out_dir, "unitigGraph.nodes.bin"), "wb") as f:
+            for node in g.unitigs:
+                if node is None:
+                    continue
+                seq = self._merged_sequence(node)
+                f.write(struct.pack("<I", seq.shape[0]))
+                f.write(seq.astype(np.uint32).tobytes())
+                f.write(struct.pack("<I", 2 * new_name[node.name]))
+                nb_nodes += 1
+
+        # edges: BFS per component from forward orientation (cpp:5348-5505)
+        nb_edges = 0
+        import collections
+        visited: set = set()
+        with open(os.path.join(self.out_dir, "unitigGraph.edges.successors.bin"),
+                  "wb") as f:
+            for node in g.unitigs:
+                if node is None or node.name in visited:
+                    continue
+                q = collections.deque([2 * node.name])
+                while q:
+                    index = q.popleft()
+                    name = index // 2
+                    if name in visited:
+                        continue
+                    visited.add(name)
+                    succs = list(g.successors(index))
+                    preds = g.predecessors(index)
+                    new_index = 2 * new_name[name] + (index % 2)
+                    succ2 = []
+                    for s in succs:
+                        q.append(s)
+                        succ2.append(2 * new_name[s // 2] + (s % 2))
+                    pred2 = []
+                    for p in preds:
+                        q.append(p)
+                        pred2.append(rc(2 * new_name[p // 2] + (p % 2)))
+                    f.write(struct.pack("<II", new_index, len(succ2)))
+                    f.write(np.asarray(succ2, np.uint32).tobytes())
+                    f.write(struct.pack("<I", len(pred2)))
+                    f.write(np.asarray(pred2, np.uint32).tobytes())
+                    nb_edges += len(succ2) + len(pred2)
+
+        # abundances: re-read nodes.bin, per-kminmer lookup (cpp:5574-5657)
+        with open(os.path.join(self.out_dir,
+                               "unitigGraph.nodes.abundances.bin"), "wb") as f:
+            for seq, uidx in gio.read_unitig_nodes(
+                    os.path.join(self.out_dir, "unitigGraph.nodes.bin")):
+                ab = np.array([self.kminmers.get(key, 1)
+                               for key in _window_hashes(seq, self.k)],
+                              np.uint32)
+                f.write(struct.pack("<II", uidx, ab.shape[0]))
+                f.write(ab.tobytes())
+
+        gio.write_unitig_stats(os.path.join(self.out_dir, "unitigGraph.stats.bin"),
+                               nb_nodes, nb_edges)
+
+
+def run_graph_multiplex_pass(out_dir: str, k: int, params: records.Parameters):
+    mp = MultiplexPass(out_dir, k, params)
+    mp.run()
+    return mp

@@ -1,0 +1,119 @@
+"""Chained multi-k parity driver: runs reference and metamdbg_tpu side by side
+pass after pass, byte-comparing artifacts at every step. Used by
+tests/test_parity_multik.py and standalone debugging."""
+
+import glob
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+import refharness
+from metamdbg_tpu.graph import contigs, gio, multiplex, stage
+from metamdbg_tpu.io import records
+from metamdbg_tpu.sketch import read_selection
+
+
+def make_params(k, prevk, first_k=4, last_k=80, density=0.005):
+    spacing = 1 / np.float32(density)
+    return records.Parameters(
+        minimizer_size=15, kminmer_size=k, density_assembly=density,
+        kminmer_size_first=first_k, minimizer_spacing_mean=float(spacing),
+        kminmer_length_mean=float(spacing * (k - 1)),
+        kminmer_overlap_mean=float(spacing * (k - 2)),
+        kminmer_size_prev=prevk, kminmer_size_last=last_k,
+        mean_read_length=8000, density_correction=0.025,
+        use_homopolymer_compression=True, data_type=0, snpmer_size=21)
+
+
+def compare_pass(ref_dir, our_dir, k, check_filter=True):
+    """Returns list of (artifact, status) mismatches (empty = full parity)."""
+    problems = []
+
+    def cmp_bytes(name):
+        with open(os.path.join(ref_dir, name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(our_dir, name), "rb") as f:
+            b = f.read()
+        if a != b:
+            problems.append((name, f"bytes differ ({len(a)} vs {len(b)})"))
+
+    for name in ("unitigGraph.nodes.bin", "unitigGraph.nodes.abundances.bin",
+                 "unitigGraph.stats.bin", "contigs.nodepath", "unitig_data.txt"):
+        cmp_bytes(name)
+    sc = f"smallContigs/smallContigs_k{k}.bin"
+    if os.path.exists(os.path.join(ref_dir, sc)):
+        cmp_bytes(sc)
+
+    rk, rc_ = gio.read_kminmer_abundances(os.path.join(ref_dir, "kminmerData_abundance.txt"))
+    ok, oc = gio.read_kminmer_abundances(os.path.join(our_dir, "kminmerData_abundance.txt"))
+    if (set(zip(map(tuple, rk.tolist()), rc_.tolist()))
+            != set(zip(map(tuple, ok.tolist()), oc.tolist()))):
+        problems.append(("kminmerData_abundance.txt", f"sets differ ({len(rk)} vs {len(ok)})"))
+
+    def load_refined(d):
+        with open(os.path.join(d, "unitigGraph.nodes.refined_abundances.bin"), "rb") as f:
+            return set(struct.iter_unpack("<II", f.read()))
+    if load_refined(ref_dir) != load_refined(our_dir):
+        problems.append(("refined_abundances", "sets differ"))
+
+    if check_filter:
+        ref_files = sorted(glob.glob(os.path.join(ref_dir, "filter", "unitigs_*.bin")))
+        for rf in ref_files:
+            of = os.path.join(our_dir, "filter", os.path.basename(rf))
+            with open(rf, "rb") as f:
+                a = f.read()
+            if not os.path.exists(of) or open(of, "rb").read() != a:
+                problems.append((os.path.basename(rf), "filter dump differs"))
+    return problems
+
+
+def run_chain(fastq, ref_dir, our_dir, first_k=4, last_k=10, stop_on_diff=True,
+              log=print):
+    os.makedirs(os.path.join(ref_dir, "filter"), exist_ok=True)
+    os.makedirs(os.path.join(ref_dir, "smallContigs"), exist_ok=True)
+    os.makedirs(our_dir, exist_ok=True)
+
+    p = make_params(first_k, first_k, first_k=first_k, last_k=last_k)
+    refharness.setup_tmpdir(ref_dir, [fastq], p)
+    refharness.run_read_selection(ref_dir, threads=1)
+    read_selection.run_read_selection([fastq], our_dir, p, skip_correction=True)
+
+    all_ok = True
+    for k in range(first_k, last_k + 1):
+        prevk = max(first_k, k - 1)
+        p = make_params(k, prevk, first_k=first_k, last_k=last_k)
+        p.save(os.path.join(ref_dir, "parameters.gz"))
+        p.save(os.path.join(our_dir, "parameters.gz"))
+
+        refharness.run_graph(ref_dir, first_pass=(k == first_k),
+                             min_abundance=0, threads=1)
+        refharness.run_contig(ref_dir, threads=1)
+        refharness.run_to_minspace(ref_dir,
+                                   os.path.join(ref_dir, "contigs.nodepath"),
+                                   os.path.join(ref_dir, "unitig_data.txt"),
+                                   threads=1)
+
+        if k == first_k:
+            stage.run_graph_first_pass(our_dir, k, min_abundance=0)
+        elif k == first_k + 1:
+            stage.run_graph_second_pass(our_dir, k, p)
+        else:
+            multiplex.run_graph_multiplex_pass(our_dir, k, p)
+        contigs.run_contig_stage(our_dir, p)
+        contigs.run_to_minspace(our_dir,
+                                os.path.join(our_dir, "contigs.nodepath"),
+                                os.path.join(our_dir, "unitig_data.txt"),
+                                os.path.join(our_dir, "unitigGraph.nodes.bin"), p)
+
+        problems = compare_pass(ref_dir, our_dir, k)
+        if problems:
+            all_ok = False
+            log(f"k={k}: DIVERGED: " + "; ".join(f"{n}: {s}" for n, s in problems))
+            if stop_on_diff:
+                return False, k
+        else:
+            log(f"k={k}: parity OK")
+    return all_ok, last_k

@@ -1,0 +1,32 @@
+"""Golden parity: chained multi-k passes (first pass, refined re-count,
+multiplex) vs the reference binary."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import datagen
+import multik_driver
+import refharness
+
+pytestmark = pytest.mark.skipif(not refharness.ref_available(),
+                                reason="reference binary not built")
+
+
+def test_multik_chain_parity(tmp_path):
+    g = datagen.random_genome(50_000, seed=51)
+    rep = g[8000:10500]
+    genome = np.concatenate([g, rep])
+    fq = str(tmp_path / "reads.fastq.gz")
+    datagen.write_fastq(fq, datagen.sample_reads(genome, 18, 8000,
+                                                 error_rate=0.004, seed=52))
+    messages = []
+    ok, reached = multik_driver.run_chain(
+        fq, str(tmp_path / "ref"), str(tmp_path / "ours"),
+        first_k=4, last_k=8, log=messages.append)
+    assert ok, "\n".join(messages)
+    assert reached == 8
