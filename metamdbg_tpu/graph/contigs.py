@@ -171,6 +171,11 @@ def run_to_minspace(out_dir: str, nodepath_file: str, output_file: str,
         out.write(minimizers.astype(np.uint32).tobytes())
     out.close()
 
+    # snapshot for RepeatRemover (ToMinspace.hpp:181-185)
+    if params.kminmer_size == params.kminmer_size_first + 1:
+        shutil.copyfile(output_file,
+                        output_file + f".init.k{params.kminmer_size}")
+
 
 def _expand_path(node_path: np.ndarray, seqs: dict, k: int) -> np.ndarray:
     """unitigSequenceToMinimizerSequence (ToMinspace.hpp:418-632): k-1 overlap,

@@ -70,6 +70,43 @@ def compare_pass(ref_dir, our_dir, k, check_filter=True):
     return problems
 
 
+def run_final_stages(ref_dir, our_dir, first_k, last_k, log=print):
+    """Final pass: contig_data_init.txt + derepSmall + removeOverlaps +
+    removeRepeats on both sides; byte-compare the outputs."""
+    from metamdbg_tpu.basespace import postprocess
+
+    p = make_params(last_k, last_k - 1, first_k=first_k, last_k=last_k)
+
+    refharness.run_to_minspace(ref_dir, os.path.join(ref_dir, "contigs.nodepath"),
+                               os.path.join(ref_dir, "contig_data_init.txt"),
+                               threads=1)
+    refharness.run_derep_small(ref_dir, first_k, last_k, threads=1)
+    refharness.run_remove_overlaps(ref_dir, threads=1)
+    refharness.run_remove_repeats(ref_dir, threads=1)
+
+    contigs.run_to_minspace(our_dir, os.path.join(our_dir, "contigs.nodepath"),
+                            os.path.join(our_dir, "contig_data_init.txt"),
+                            os.path.join(our_dir, "unitigGraph.nodes.bin"), p)
+    postprocess.run_derep_small(our_dir, p, first_k, last_k)
+    postprocess.run_remove_overlaps(our_dir, p)
+    postprocess.run_remove_repeats(our_dir, p)
+
+    ok = True
+    for name in ("contig_data_init.txt", "contig_data_init_small.txt",
+                 "contig_data_init_small.txt.nooverlaps",
+                 "contig_data_init_small.txt.norepeats"):
+        with open(os.path.join(ref_dir, name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(our_dir, name), "rb") as f:
+            b = f.read()
+        if a == b:
+            log(f"final: {name}: parity OK ({len(a)} bytes)")
+        else:
+            log(f"final: {name}: DIVERGED ({len(a)} vs {len(b)})")
+            ok = False
+    return ok
+
+
 def run_chain(fastq, ref_dir, our_dir, first_k=4, last_k=10, stop_on_diff=True,
               log=print):
     os.makedirs(os.path.join(ref_dir, "filter"), exist_ok=True)

@@ -76,3 +76,20 @@ def run_asm(out_dir: str, fastq_paths, platform: str = "hifi", threads: int = 2,
     cmd = [REF_BIN, "asm", "--out-dir", out_dir, flag, *map(str, fastq_paths),
            "--threads", str(threads), *extra]
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def run_derep_small(tmp_dir: str, first_k: int, last_k: int, threads: int = 1):
+    """`metaMDBG derepSmall` (AssemblyPipeline.hpp:882-896)."""
+    cmd = [REF_BIN, "derepSmall", tmp_dir, "--threads", str(threads),
+           "--first-k", str(first_k), "--last-k", str(last_k)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def run_remove_overlaps(tmp_dir: str, threads: int = 1):
+    cmd = [REF_BIN, "removeOverlaps", tmp_dir, "--threads", str(threads)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def run_remove_repeats(tmp_dir: str, threads: int = 1):
+    cmd = [REF_BIN, "removeRepeats", tmp_dir, "--threads", str(threads)]
+    subprocess.run(cmd, check=True, capture_output=True)
