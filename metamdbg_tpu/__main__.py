@@ -1,0 +1,64 @@
+"""CLI: ``python -m metamdbg_tpu asm --out-dir DIR --in-hifi reads.fastq.gz``.
+
+Mirrors the reference's `metaMDBG asm` interface
+(src/pipeline/AssemblyPipeline.hpp:100-137).
+"""
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="metamdbg_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    asm = sub.add_parser("asm", help="assemble long reads")
+    asm.add_argument("--out-dir", "-o", required=True)
+    asm.add_argument("--in-hifi", nargs="+", default=None,
+                     help="PacBio HiFi read filename(s)")
+    asm.add_argument("--in-ont", nargs="+", default=None,
+                     help="Nanopore R10.4+ read filename(s)")
+    asm.add_argument("--threads", "-t", type=int, default=1)
+    asm.add_argument("--min-read-quality", type=float, default=0.0)
+    asm.add_argument("--min-contig-length", type=int, default=50)
+    asm.add_argument("--min-contig-coverage", type=float, default=1)
+    asm.add_argument("--k-min-size", type=int, default=15, dest="minimizer_size")
+    asm.add_argument("--density-assembly", type=float, default=0.005)
+    asm.add_argument("--density-correction", type=float, default=0.025)
+    asm.add_argument("--max-k", type=int, default=0)
+    asm.add_argument("--min-abundance", type=int, default=0)
+    asm.add_argument("--max-bubble-length", type=int, default=50000)
+    asm.add_argument("--max-tip-length", type=int, default=50000)
+    asm.add_argument("--skip-correction", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    if args.command == "asm":
+        if bool(args.in_hifi) == bool(args.in_ont):
+            parser.error("choose exactly one of --in-hifi / --in-ont")
+        if args.in_ont and not args.skip_correction:
+            parser.error("ONT read correction is not available yet in this "
+                         "build; rerun with --skip-correction")
+        from metamdbg_tpu.pipeline.asm import Pipeline
+        reads = args.in_hifi or args.in_ont
+        platform = "hifi" if args.in_hifi else "ont"
+        Pipeline(args.out_dir, reads, platform=platform,
+                 min_read_quality=args.min_read_quality, max_k=args.max_k,
+                 min_abundance=args.min_abundance,
+                 max_bubble_length=args.max_bubble_length,
+                 max_tip_length=args.max_tip_length,
+                 minimizer_size=args.minimizer_size,
+                 density_assembly=args.density_assembly,
+                 density_correction=args.density_correction,
+                 min_contig_length=args.min_contig_length,
+                 min_contig_coverage=args.min_contig_coverage,
+                 skip_correction=args.skip_correction).run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,200 @@
+"""`asm` pipeline orchestrator (HiFi / skip-correction path).
+
+Mirrors AssemblyPipeline (src/pipeline/AssemblyPipeline.hpp:87-1016): single
+process (no subprocess re-invocation), stage checkpoints as marker files,
+parameters.gz per pass, pass_k snapshots for the gfa subcommand.
+
+ONT read correction is not wired yet (round-2: correction subsystem); use
+--in-hifi or --skip-correction inputs.
+"""
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from ..constants import compute_last_k
+from ..graph import contigs as contigs_mod
+from ..graph import multiplex, stage
+from ..io import records
+from ..sketch import read_selection
+
+log = logging.getLogger("metamdbg_tpu")
+
+
+class Pipeline:
+
+    def __init__(self, out_dir: str, read_paths, platform: str = "hifi",
+                 min_read_quality: float = 0.0, max_k: int = 0,
+                 min_abundance: int = 0, max_bubble_length: int = 50000,
+                 max_tip_length: int = 50000, minimizer_size: int = 15,
+                 density_assembly: float = 0.005,
+                 density_correction: float = 0.025,
+                 min_contig_length: int = 50, min_contig_coverage: float = 1.0,
+                 skip_correction: bool = False):
+        self.out_dir = out_dir
+        self.tmp_dir = os.path.join(out_dir, "tmp")
+        self.read_paths = [os.path.abspath(p) for p in read_paths]
+        self.platform = platform
+        self.min_read_quality = min_read_quality
+        self.max_k = max_k
+        self.min_abundance = min_abundance
+        self.max_bubble_length = max_bubble_length
+        self.max_tip_length = max_tip_length
+        self.minimizer_size = min(minimizer_size, 16)
+        self.density_assembly = density_assembly
+        self.density_correction = density_correction
+        self.min_contig_length = max(50, min_contig_length)
+        self.min_contig_coverage = max(1.0, min_contig_coverage)
+        self.use_hpc = platform == "hifi"
+        self.skip_correction = skip_correction or platform == "hifi"
+        self.first_k = 4
+        self.last_k = 0
+
+        for d in ("", "filter", "checkpoints", "smallContigs"):
+            os.makedirs(os.path.join(self.tmp_dir, d), exist_ok=True)
+        with open(os.path.join(self.tmp_dir, "input.txt"), "w") as f:
+            for p in self.read_paths:
+                f.write(p + "\n")
+
+    # -- checkpoints --------------------------------------------------------
+    def _ckpt(self, name):
+        return os.path.join(self.tmp_dir, "checkpoints", name + ".checkpoint")
+
+    def _done(self, name):
+        return os.path.exists(self._ckpt(name))
+
+    def _mark(self, name):
+        open(self._ckpt(name), "w").close()
+
+    # -- parameters ---------------------------------------------------------
+    def make_params(self, k: int, prev_k: int) -> records.Parameters:
+        spacing = 1 / np.float32(self.density_assembly)
+        return records.Parameters(
+            minimizer_size=self.minimizer_size, kminmer_size=k,
+            density_assembly=self.density_assembly,
+            kminmer_size_first=self.first_k,
+            minimizer_spacing_mean=float(spacing),
+            kminmer_length_mean=float(spacing * np.float32(k - 1)),
+            kminmer_overlap_mean=float(spacing * np.float32(k - 1)
+                                       - spacing),
+            kminmer_size_prev=prev_k, kminmer_size_last=self.last_k,
+            mean_read_length=self.mean_read_length,
+            density_correction=self.density_correction,
+            use_homopolymer_compression=self.use_hpc,
+            data_type=0 if self.platform == "hifi" else 1,
+            snpmer_size=21)
+
+    # -- stages -------------------------------------------------------------
+    def run(self):
+        t0 = time.time()
+        self.mean_read_length = 0
+        params = self.make_params(self.first_k, self.first_k)
+        params.save(os.path.join(self.tmp_dir, "parameters.gz"))
+
+        log.info("Converting reads to minimizers")
+        if not self._done("convertReadsToMinimizerSpace"):
+            read_selection.run_read_selection(
+                self.read_paths, self.tmp_dir, params,
+                min_read_quality=self.min_read_quality,
+                skip_correction=self.skip_correction)
+            self._mark("convertReadsToMinimizerSpace")
+
+        stats = records.ReadStats.load(os.path.join(self.tmp_dir, "read_stats.txt"))
+        self.mean_read_length = stats.n50
+        self.last_k = compute_last_k(self.density_assembly, stats.n50,
+                                     self.first_k, self.max_k)
+        log.info("Total read bp: %d | N50 read length: %d | k: %d..%d",
+                 stats.nb_bases, stats.n50, self.first_k, self.last_k)
+
+        prev_k = self.first_k
+        pass_index = 0
+        k = self.first_k
+        while True:
+            is_final = k == self.last_k
+            log.info("Multi-k pass: %d/%d", k, self.last_k)
+            params = self.make_params(k, prev_k)
+            params.save(os.path.join(self.tmp_dir, "parameters.gz"))
+
+            if not self._done(f"k{k}_createGraph"):
+                if pass_index == 0:
+                    stage.run_graph_first_pass(self.tmp_dir, k,
+                                               self.min_abundance)
+                elif k == self.first_k + 1:
+                    stage.run_graph_second_pass(self.tmp_dir, k, params)
+                else:
+                    multiplex.run_graph_multiplex_pass(self.tmp_dir, k, params)
+                self._mark(f"k{k}_createGraph")
+
+            if not self._done(f"k{k}_generateContigs"):
+                contigs_mod.run_contig_stage(self.tmp_dir, params,
+                                             self.max_bubble_length,
+                                             self.max_tip_length)
+                self._mark(f"k{k}_generateContigs")
+
+            out_name = "contig_data_init.txt" if is_final else "unitig_data.txt"
+            if not self._done(f"k{k}_toMinspaceContigs"):
+                contigs_mod.run_to_minspace(
+                    self.tmp_dir,
+                    os.path.join(self.tmp_dir, "contigs.nodepath"),
+                    os.path.join(self.tmp_dir, out_name),
+                    os.path.join(self.tmp_dir, "unitigGraph.nodes.bin"),
+                    params)
+                self._mark(f"k{k}_toMinspaceContigs")
+
+            self._save_pass_snapshot(k)
+
+            if is_final:
+                break
+            prev_k = k
+            pass_index += 1
+            k += 1
+
+        self._run_final_stages(params)
+
+        dt = time.time() - t0
+        log.info("Run time: %.0f s", dt)
+        log.info("Contig filename: %s",
+                 os.path.join(self.out_dir, "contigs.fasta.gz"))
+        log.info("Done!")
+
+    def _save_pass_snapshot(self, k: int):
+        """pass_k<k>/ snapshot for the gfa subcommand
+        (AssemblyPipeline.hpp:1435-1475, reduced to parameters)."""
+        d = os.path.join(self.tmp_dir, f"pass_k{k}")
+        os.makedirs(d, exist_ok=True)
+        import shutil
+        shutil.copyfile(os.path.join(self.tmp_dir, "parameters.gz"),
+                        os.path.join(d, "parameters.gz"))
+
+    def _run_final_stages(self, params):
+        from ..basespace import postprocess, reconstruct
+        from ..io.records import load_repetitive_minimizers
+
+        log.info("Derep small contigs")
+        if not self._done("derepSmallContigs"):
+            postprocess.run_derep_small(self.tmp_dir, params, self.first_k,
+                                        self.last_k)
+            self._mark("derepSmallContigs")
+
+        log.info("Removing overlaps and duplication")
+        if not self._done("removeOverlaps"):
+            postprocess.run_remove_overlaps(self.tmp_dir, params)
+            self._mark("removeOverlaps")
+
+        if not self._done("removeRepeats"):
+            postprocess.run_remove_repeats(self.tmp_dir, params)
+            self._mark("removeRepeats")
+
+        log.info("Constructing base-space contigs")
+        if not self._done("toBasespace"):
+            repetitive = load_repetitive_minimizers(
+                os.path.join(self.tmp_dir, "repetitiveMinimizers.bin"))
+            repetitive = np.sort(repetitive)
+            reconstruct.run_to_basespace(
+                self.tmp_dir, self.read_paths,
+                os.path.join(self.out_dir, "contigs.fasta.gz"), params,
+                self.min_contig_length, self.min_contig_coverage,
+                repetitive if repetitive.size else None)
+            self._mark("toBasespace")

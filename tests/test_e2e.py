@@ -1,0 +1,69 @@
+"""End-to-end CLI test: synthetic HiFi metagenome -> full-length circular
+contigs."""
+
+import gzip
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import datagen
+from metamdbg_tpu.__main__ import main
+
+
+def _read_contigs(path):
+    headers, seqs, cur = [], [], []
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            if line.startswith(">"):
+                headers.append(line.strip()[1:])
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    return headers, seqs
+
+
+def test_asm_single_circular_genome(tmp_path):
+    fq = str(tmp_path / "reads.fastq.gz")
+    genome = datagen.make_test_fastq(fq, genome_len=80_000, coverage=20,
+                                     mean_length=8000, error_rate=0.002,
+                                     seed=9)
+    out = str(tmp_path / "out")
+    main(["asm", "--out-dir", out, "--in-hifi", fq])
+
+    headers, seqs = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
+    assert len(seqs) == 1
+    assert "circular=yes" in headers[0]
+    # full-length recovery (within minimizer-anchor resolution)
+    assert abs(len(seqs[0]) - genome.shape[0]) < 2000
+
+    # sampled exact 40-mers mostly present (unpolished draft ~ read accuracy)
+    g = genome.tobytes().decode()
+    gg = g + g
+    contig = seqs[0]
+    rc = contig.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    samples = range(0, len(contig) - 40, 1000)
+    hits = sum(1 for i in samples
+               if contig[i:i + 40] in gg or rc[i:i + 40] in gg)
+    assert hits / len(samples) > 0.8
+
+
+def test_asm_resume_from_checkpoints(tmp_path):
+    fq = str(tmp_path / "reads.fastq.gz")
+    datagen.make_test_fastq(fq, genome_len=40_000, coverage=15,
+                            mean_length=6000, error_rate=0.002, seed=10)
+    out = str(tmp_path / "out")
+    main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
+    first = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
+    # delete the final artifact and resume: checkpointed stages are skipped
+    os.remove(os.path.join(out, "contigs.fasta.gz"))
+    os.remove(os.path.join(out, "tmp", "checkpoints", "toBasespace.checkpoint"))
+    main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
+    second = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
+    assert first == second
