@@ -32,6 +32,12 @@ def main(argv=None):
     asm.add_argument("--max-tip-length", type=int, default=50000)
     asm.add_argument("--skip-correction", action="store_true")
 
+    gfa = sub.add_parser("gfa", help="export assembly graphs")
+    gfa.add_argument("out_dir", help="assembly output dir (with tmp/)")
+    gfa.add_argument("k", type=int, nargs="?", default=0,
+                     help="k of the graph to export (0 = list available)")
+    gfa.add_argument("--output", default=None)
+
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -57,6 +63,9 @@ def main(argv=None):
                  min_contig_length=args.min_contig_length,
                  min_contig_coverage=args.min_contig_coverage,
                  skip_correction=args.skip_correction).run()
+    elif args.command == "gfa":
+        from metamdbg_tpu.pipeline.gfa import run_gfa
+        run_gfa(args.out_dir, args.k, args.output)
     return 0
 
 

@@ -49,13 +49,14 @@ def load_filter_graph(out_dir: str, params: records.Parameters) -> FilterGraph:
 
 
 def run_contig_stage(out_dir: str, params: records.Parameters,
-                     max_bubble_length: int = 50000, max_tip_length: int = 50000):
+                     max_bubble_length: int = 50000, max_tip_length: int = 50000,
+                     gen_graph: bool = False):
     """`metaMDBG contig` (non-final): filter + contigs.nodepath + refined
     abundances + multiplex backups."""
     os.makedirs(os.path.join(out_dir, "filter"), exist_ok=True)
     fg = load_filter_graph(out_dir, params)
     paf = ProgressiveAbundanceFilter(fg, out_dir, max_bubble_length,
-                                     max_tip_length)
+                                     max_tip_length, gen_graph=gen_graph)
     paf.execute()
     node_abundances = generate_contigs(out_dir, paf, params)
     dump_refined_abundances(out_dir, params, node_abundances)

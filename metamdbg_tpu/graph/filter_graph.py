@@ -198,3 +198,45 @@ class FilterGraph:
 
     def alive_names(self) -> list:
         return [i for i, u in enumerate(self.unitigs) if u is not None]
+
+    # -- GFA export ---------------------------------------------------------
+    def save_gfa(self, path: str):
+        """UnitigGraph2::save (Graph.hpp:2126-2418): S/L lines in component
+        BFS order plus the `.unitigs.nodepath` records used by toMinspace to
+        fill in minimizer sequences."""
+        import collections
+        import struct
+
+        import numpy as np
+
+        nodepath = open(path + ".unitigs.nodepath", "wb")
+        out = open(path, "w")
+        visited: set = set()
+        for node in self.unitigs:
+            if node is None or node.name in visited:
+                continue
+            q = collections.deque([2 * node.name])
+            while q:
+                index = q.popleft()
+                name = index // 2
+                if name in visited:
+                    continue
+                visited.add(name)
+                u = self.unitigs[name]
+                ori1 = "-" if index % 2 else "+"
+                length = u.length(self.spacing_mean)
+                out.write(f"S\tutg{name}\t*\tLN:i:{length}\t"
+                          f"dp:i:{u.abundance}\n")
+                unitigs = u.unitig_merge if u.unitig_merge else [index]
+                nodepath.write(struct.pack("<IB", len(unitigs), 0))
+                nodepath.write(np.asarray(unitigs, np.uint32).tobytes())
+                for s in self.successors(index):
+                    ori2 = "-" if s % 2 else "+"
+                    out.write(f"L\tutg{name}\t{ori1}\tutg{s // 2}\t{ori2}\t1M\n")
+                    q.append(s)
+                for p in self.predecessors(index):
+                    ori2 = "-" if p % 2 else "+"
+                    out.write(f"L\tutg{p // 2}\t{ori2}\tutg{name}\t{ori1}\t1M\n")
+                    q.append(p)
+        out.close()
+        nodepath.close()

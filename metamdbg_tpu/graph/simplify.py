@@ -31,12 +31,13 @@ class ProgressiveAbundanceFilter:
 
     def __init__(self, graph: FilterGraph, out_dir: str,
                  max_bubble_length: int = 50000, max_tip_length: int = 50000,
-                 remove_bubble: bool = True):
+                 remove_bubble: bool = True, gen_graph: bool = False):
         self.g = graph
         self.out_dir = out_dir
         self.max_bubble_length = max_bubble_length
         self.max_tip_length = max_tip_length
         self.remove_bubble = remove_bubble
+        self.gen_graph = gen_graph
         self.cutoff_index = 0
         self.cutoff_values: list[float] = []   # cutoff per dumped index
         self.valid_nodes: list = []
@@ -57,6 +58,10 @@ class ProgressiveAbundanceFilter:
             is_modification = self.simplify()
             if float(current_cutoff) not in dumped:
                 dumped.add(float(current_cutoff))
+                if current_cutoff == 0 and self.gen_graph:
+                    import os
+                    self.g.save_gfa(os.path.join(self.out_dir,
+                                                 "assembly_graph.gfa"))
                 self.dump_unitigs(float(current_cutoff))
             nb_removed, current_cutoff = self.remove_abundance(max_abundance)
             if nb_removed > 0:

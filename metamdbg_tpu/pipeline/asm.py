@@ -111,6 +111,7 @@ class Pipeline:
         prev_k = self.first_k
         pass_index = 0
         k = self.first_k
+        self.next_gen_graph_k = 11  # AssemblyPipeline.hpp:496
         while True:
             is_final = k == self.last_k
             log.info("Multi-k pass: %d/%d", k, self.last_k)
@@ -127,11 +128,25 @@ class Pipeline:
                     multiplex.run_graph_multiplex_pass(self.tmp_dir, k, params)
                 self._mark(f"k{k}_createGraph")
 
+            gen_graph = pass_index > 0 and k == self.next_gen_graph_k
             if not self._done(f"k{k}_generateContigs"):
                 contigs_mod.run_contig_stage(self.tmp_dir, params,
                                              self.max_bubble_length,
-                                             self.max_tip_length)
+                                             self.max_tip_length,
+                                             gen_graph=gen_graph)
                 self._mark(f"k{k}_generateContigs")
+
+            if gen_graph and not self._done(f"k{k}_toMinspaceAssemblyGraph"):
+                contigs_mod.run_to_minspace(
+                    self.tmp_dir,
+                    os.path.join(self.tmp_dir,
+                                 "assembly_graph.gfa.unitigs.nodepath"),
+                    os.path.join(self.tmp_dir, "assembly_graph.gfa.unitigs"),
+                    os.path.join(self.tmp_dir, "unitigGraph.nodes.bin"),
+                    params)
+                self._mark(f"k{k}_toMinspaceAssemblyGraph")
+            if gen_graph:
+                self.next_gen_graph_k += 10
 
             out_name = "contig_data_init.txt" if is_final else "unitig_data.txt"
             if not self._done(f"k{k}_toMinspaceContigs"):
@@ -167,6 +182,13 @@ class Pipeline:
         import shutil
         shutil.copyfile(os.path.join(self.tmp_dir, "parameters.gz"),
                         os.path.join(d, "parameters.gz"))
+        for name in ("assembly_graph.gfa", "assembly_graph.gfa.unitigs"):
+            src = os.path.join(self.tmp_dir, name)
+            if os.path.exists(src):
+                shutil.move(src, os.path.join(d, name))
+        src = os.path.join(self.tmp_dir, "assembly_graph.gfa.unitigs.nodepath")
+        if os.path.exists(src):
+            os.remove(src)
 
     def _run_final_stages(self, params):
         from ..basespace import postprocess, reconstruct
