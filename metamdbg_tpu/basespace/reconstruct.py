@@ -83,6 +83,7 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
     contig_index = 0
     out_records = []
     final_min = open(os.path.join(out_dir, "contig_data_final.bin"), "wb")
+    from .polish import polish_contig
     for ci, contig in enumerate(contigs):
         alignments = sorted(per_contig[ci], key=lambda a: (a[4], -a[7]))
         seq, coverage = _reconstruct_contig(contig, alignments, read_seqs,
@@ -90,6 +91,9 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
         if seq is None or seq.shape[0] < min_contig_length \
                 or coverage < min_contig_coverage:
             continue
+        for _ in range(2):  # second round re-anchors on the corrected draft
+            seq = polish_contig(seq, alignments, read_seqs, l, density,
+                                use_hpc, repetitive)
         circ = "yes" if contig.is_circular else "no"
         header = (f"ctg{contig_index} length={seq.shape[0]} "
                   f"coverage={coverage:.2f} circular={circ}")
