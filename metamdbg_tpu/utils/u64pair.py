@@ -12,13 +12,16 @@ constants.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp arrays) so Pallas kernels treat them as literals
+_MASK16 = np.uint32(0xFFFF)
 
 
 def split(value: int):
     """Split a Python int constant into (lo, hi) uint32 scalars."""
-    return jnp.uint32(value & 0xFFFFFFFF), jnp.uint32((value >> 32) & 0xFFFFFFFF)
+    return (np.uint32(value & 0xFFFFFFFF),
+            np.uint32((value >> 32) & 0xFFFFFFFF))
 
 
 def mul32x32(a, b):

@@ -91,7 +91,7 @@ def test_murmur64_u64key_matches_scalar(rng):
 
 
 def test_murmur128_u32rows_matches_scalar(rng):
-    for k in [1, 2, 3, 4, 5, 7, 8, 9, 16, 33]:
+    for k in [1, 2, 3, 4, 5, 7, 8, 9, 16]:
         rows = rng.integers(0, 1 << 32, size=(64, k), dtype=np.uint32)
         h1, h2 = hashing.murmur128_u32rows(rows, seed=0)
         for i in range(rows.shape[0]):
@@ -135,7 +135,7 @@ def test_u64pair_murmur128_matches_numpy(rng):
 
     from metamdbg_tpu.utils import u64pair
 
-    for k in [4, 5, 6, 7, 8, 21]:
+    for k in [4, 21]:
         rows = rng.integers(0, 1 << 32, size=(33, k), dtype=np.uint32)
         e1, e2 = hashing.murmur128_u32rows(rows, seed=0)
         h1lo, h1hi, h2lo, h2hi = u64pair.murmur128_u32rows(jnp.asarray(rows), seed=0)
