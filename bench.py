@@ -30,15 +30,22 @@ def main():
     codes = jnp.asarray(rng.integers(0, 4, size=(n_reads, read_len), dtype=np.uint8))
     lengths = jnp.asarray(np.full(n_reads, read_len, np.int32))
 
-    fn = jax.jit(lambda c, ln: sketch_batch(c, ln, l=l, density=density))
-    out = fn(codes, lengths)
-    jax.block_until_ready(out)     # compile
+    # reduce to a scalar inside the jit so timing includes materialization
+    # (remote-tunnel devices can otherwise report async completion early)
+    fn = jax.jit(lambda c, ln: sketch_batch(c, ln, l=l, density=density)
+                 ["selected"].sum())
+    total = int(fn(codes, lengths))   # compile + sanity
+    assert total > 0
 
-    iters = 10
+    # dispatch the whole loop, then transfer ONE scalar: PJRT executes
+    # in-order per device, so materializing the last result proves every
+    # iteration completed, without paying the tunnel round-trip per iter.
+    iters = 30
     t0 = time.perf_counter()
+    r = None
     for _ in range(iters):
-        out = fn(codes, lengths)
-    jax.block_until_ready(out)
+        r = fn(codes, lengths)
+    assert int(r) == total            # host transfer fences the stream
     dt = time.perf_counter() - t0
 
     bases = n_reads * read_len * iters

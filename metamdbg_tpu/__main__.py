@@ -49,8 +49,12 @@ def main(argv=None):
         if args.in_ont and not args.skip_correction:
             parser.error("ONT read correction is not available yet in this "
                          "build; rerun with --skip-correction")
+        import os
         from metamdbg_tpu.pipeline.asm import Pipeline
         reads = args.in_hifi or args.in_ont
+        missing = [r for r in reads if not os.path.isfile(r)]
+        if missing:
+            parser.error("read file not found: " + ", ".join(missing))
         platform = "hifi" if args.in_hifi else "ont"
         Pipeline(args.out_dir, reads, platform=platform,
                  min_read_quality=args.min_read_quality, max_k=args.max_k,

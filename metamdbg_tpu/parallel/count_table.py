@@ -125,8 +125,7 @@ def count_kminmers_sharded(mesh: Mesh, axis: str = "data"):
 
     def build(k: int):
         step.k = k
-        from jax.experimental.shard_map import shard_map
-        return jax.jit(shard_map(
+        return jax.jit(jax.shard_map(
             step, mesh=mesh,
             in_specs=(P(axis, None), P(axis)),
             out_specs=(P(), P(), P())))

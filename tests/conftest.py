@@ -8,10 +8,29 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# The axon TPU-tunnel plugin (PYTHONPATH /root/.axon_site) initializes its
-# remote connection even under JAX_PLATFORMS=cpu and can hang when the tunnel
-# is busy; drop it from the import path before jax is imported.
+# The axon TPU-tunnel plugin registers itself from sitecustomize.py at
+# interpreter startup (PYTHONPATH /root/.axon_site), i.e. BEFORE this
+# conftest runs: jax is already imported and its config latched
+# JAX_PLATFORMS=axon from the environment, so the env update above is a
+# no-op for this process and first backend use dials the (flaky, slow)
+# remote tunnel. Backend *initialization* is lazy, though — so here we
+# deregister the axon factory and repoint the live config at cpu before
+# any test touches jax.
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 os.environ["PYTHONPATH"] = os.pathsep.join(
     p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
     if p and ".axon_site" not in p)
+# Subprocesses (parity oracles run the reference binary only, but any
+# python child would re-trigger sitecustomize) — drop the gate var too.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+if "jax" in sys.modules:
+    import jax
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
+    if _xb.backends_are_initialized():  # a fixture/import already hit a backend
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
