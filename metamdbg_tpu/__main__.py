@@ -46,9 +46,6 @@ def main(argv=None):
     if args.command == "asm":
         if bool(args.in_hifi) == bool(args.in_ont):
             parser.error("choose exactly one of --in-hifi / --in-ont")
-        if args.in_ont and not args.skip_correction:
-            parser.error("ONT read correction is not available yet in this "
-                         "build; rerun with --skip-correction")
         import os
         from metamdbg_tpu.pipeline.asm import Pipeline
         reads = args.in_hifi or args.in_ont

@@ -1,0 +1,348 @@
+"""Read correction stage orchestration (`readCorrection` subcommand).
+
+Mirrors ReadCorrection::execute (src/readSelection/ReadCorrection.hpp:
+1759-2151): memory model -> all-vs-all mapping -> Jaccard-BFS read
+partitioning -> per-partition correction (filterAlignments +
+performPoaCorrection4) -> read_data_corrected.txt ({u32 n, u8 linear,
+u32 minimizers[n]} records, ReadCorrection.hpp:6367-6484).
+
+Determinism notes:
+- the reference's corrected-record order equals ascending read index within
+  each partition (single-writer iteration over the partition's load order);
+- partition membership is reproduced with the same Jaccard-priority BFS;
+  heap ties follow (distance, insertion order), which can diverge from
+  libstdc++ heap mechanics only when several neighbors share a distance in a
+  multi-partition run (never in a single-partition run).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..constants import CONTIG_LINEAR
+from ..io import fastq, records
+from ..sketch import kmers as _kmers
+from ..sketch import minimizers as _minimizers
+from ..sketch import rle as _rle
+from ..sketch.palindrome import purge_palindrome
+from ..utils.hashing import minimizer_is_selected
+from . import chainer, mapper, poa
+
+MAX_MEMORY_BASE_GB = 8.0            # ReadCorrection.hpp:1789
+MEMORY_PER_MINIMIZER = 15           # ReadCorrection.hpp:1822 (8+4+1+1+1)
+MINIMIZER_POSITION_BYTES = 48       # sizeof(MinimizerPosition2)*2 (hpp:1829)
+MIN_READ_MINIMIZERS = mapper.MIN_READ_MINIMIZERS
+
+
+@dataclasses.dataclass
+class SimpleRead:
+    """Minimal read view handed to the chainer/POA."""
+    index: int
+    minimizers: np.ndarray
+    positions: np.ndarray
+    directions: np.ndarray
+    qualities: np.ndarray
+    read_length: int
+
+    def reverse_complement(self):
+        """MinimizerRead::toReverseComplement (src/Commons.hpp:1042-1079)."""
+        n = self.minimizers.shape[0]
+        pos = (np.int64(self.read_length)
+               - self.positions[::-1].astype(np.int64)).astype(np.uint32)
+        return SimpleRead(self.index, self.minimizers[::-1].copy(), pos,
+                          (1 - self.directions[::-1]).astype(np.uint8),
+                          self.qualities[::-1].copy(), self.read_length)
+
+
+def apply_density_threshold(read: SimpleRead, density: float) -> SimpleRead:
+    """Utils::applyDensityThreshold (src/Commons.hpp:2507-2545): keep
+    minimizers whose value re-hashes under the density bound."""
+    keep = minimizer_is_selected(read.minimizers.astype(np.uint64), density)
+    return SimpleRead(read.index, read.minimizers[keep],
+                      read.positions[keep], read.directions[keep],
+                      read.qualities[keep], read.read_length)
+
+
+def compute_max_memory(nb_bases: int) -> int:
+    """Affine RAM model (ReadCorrection.hpp:1788-1817)."""
+    x1, y1 = np.float32(MAX_MEMORY_BASE_GB), np.float32(50.0)
+    x2, y2 = np.float32(250.0), np.float32(5000.0)
+    a = (y2 - y1) / (x2 - x1)
+    b = y1 - a * x1
+    gb_actual = np.longdouble(nb_bases) / np.longdouble(1_000_000_000)
+    x3 = (np.float32(gb_actual) - b) / a
+    max_gb = max(np.longdouble(x3), np.longdouble(MAX_MEMORY_BASE_GB))
+    max_gb = min(max_gb, np.longdouble(900))
+    return int(max_gb * np.longdouble(1_000_000_000))
+
+
+def sketch_high_density_reads(input_paths, params: records.Parameters,
+                              repetitive: np.ndarray):
+    """Re-sketch the original reads at correction density with per-minimizer
+    INCLUSIVE-end min qualities (ReadCorrection.hpp:2228-2344 ReadSelection-
+    Functor + getMinQuality 2469-2487 — note the `i<=endPos` span, unlike
+    ReadSelection's exclusive end)."""
+    out = []
+    l = params.minimizer_size
+    for read in fastq.iter_reads(input_paths):
+        seq_rle, rle_pos = _rle.rle_encode(read.seq,
+                                           params.use_homopolymer_compression)
+        codes, bad = _kmers.base_codes(seq_rle)
+        mins, pos, dirs = _minimizers.select_minimizers(
+            codes, bad, l, params.density_correction, repetitive)
+        if read.qual is None or read.qual.size == 0:
+            quals = np.ones(mins.shape[0], np.uint8)
+        else:
+            q = np.asarray(read.qual, np.uint8).astype(np.int32) - 33
+            quals = np.empty(mins.shape[0], np.uint8)
+            rp = rle_pos.astype(np.int64)
+            p = pos.astype(np.int64)
+            for i in range(mins.shape[0]):
+                quals[i] = np.uint8(q[rp[p[i]]: rp[p[i] + l - 1] + 1].min())
+        out.append(SimpleRead(read.index, mins, pos.astype(np.uint32),
+                              dirs.astype(np.uint8), quals,
+                              read.seq.shape[0]))
+    return out
+
+
+def run_read_correction(tmp_dir: str, params: records.Parameters,
+                        min_identity: float = 0.96,
+                        min_overlap_length: int = 1000):
+    stats = records.ReadStats.load(os.path.join(tmp_dir, "read_stats.txt"))
+    reads = []
+    for r in records.read_read_data(
+            os.path.join(tmp_dir, "read_data_init.txt"), with_quality=True):
+        reads.append(SimpleRead(r.index, r.minimizers, r.positions,
+                                r.directions, r.qualities, r.read_length))
+
+    with open(os.path.join(tmp_dir, "input.txt")) as f:
+        input_paths = [line.strip() for line in f if line.strip()]
+    repetitive = np.sort(records.load_repetitive_minimizers(
+        os.path.join(tmp_dir, "repetitiveMinimizers.bin")))
+
+    max_memory = compute_max_memory(stats.nb_bases)
+    memory_per_read = int(np.float32(np.float32(stats.mean_length)
+                                     * np.float32(params.density_correction))
+                          * np.float32(MEMORY_PER_MINIMIZER))
+    memory_per_read = max(memory_per_read, 500)
+
+    mem_low = np.longdouble(stats.nb_minimizers) * MINIMIZER_POSITION_BYTES
+    nb_passes = np.ceil(mem_low / np.longdouble(max_memory))
+    nb_passes = min(max(nb_passes, np.longdouble(1)), np.longdouble(10))
+    chunk_size = int(np.longdouble(stats.nb_minimizers) / nb_passes) + 10
+
+    band = int(np.float32(2500) * np.float32(params.density_correction))
+
+    alignments = mapper.run_read_mapper(
+        reads, chunk_size, band,
+        alignment_path=os.path.join(tmp_dir, "readAlignmentsLowDensity.bin"))
+
+    # ---- partitioning (ReadCorrection.hpp:1965-1994, 4519-4713) ----
+    align_lists = [alignments.get(i, np.zeros(0, np.uint32)).tolist()
+                   for i in range(stats.nb_reads)]
+    partitions = None
+    pass_no = 0
+    memory_increased = int(max_memory * 0.33)
+    cur_memory = max_memory
+    while True:
+        partitions, nb_written = partition_reads(align_lists, cur_memory,
+                                                 memory_per_read)
+        density = stats.nb_reads / nb_written if nb_written else 1.0
+        if density > 0.15:
+            break
+        pass_no += 1
+        cur_memory += memory_increased
+        if pass_no > 10:
+            break
+
+    # ---- correction (on re-sketched correction-density reads) ----
+    high_reads = sketch_high_density_reads(input_paths, params, repetitive)
+
+    checksum = 0
+    out_path = os.path.join(tmp_dir, "read_data_corrected.txt")
+    with records.ReadDataWriter(out_path, with_quality=False) as writer:
+        for (to_load, to_correct) in partitions:
+            correct_set = set(to_correct)
+            part_align = {i: align_lists[i] for i in to_correct}
+            loaded = sorted(set(to_load))
+            for read_index in loaded:
+                if read_index not in correct_set:
+                    continue
+                read = high_reads[read_index]
+                low = apply_density_threshold(read, params.density_assembly)
+                if low.minimizers.shape[0] < MIN_READ_MINIMIZERS:
+                    checksum = _write_read(writer, read.index, read.minimizers,
+                                           params, checksum)
+                else:
+                    corrected = correct_read(read, part_align.get(read_index),
+                                             high_reads, params, min_identity,
+                                             min_overlap_length, band)
+                    checksum = _write_read(writer, read.index, corrected,
+                                           params, checksum)
+    return checksum
+
+
+def partition_reads(align_lists, max_memory: int, memory_per_read: int):
+    """Jaccard-priority BFS partitioning (ReadCorrection.hpp:4519-4713).
+
+    Returns (list of (reads_to_load, reads_to_correct), nb_reads_written).
+    """
+    import heapq
+
+    n = len(align_lists)
+    is_corrected = [False] * n
+    is_visited = [False] * n
+    partitions = []
+    cur_load: list[int] = []
+    cur_correct: list[int] = []
+    nb_written = 0
+
+    for read_index in range(n):
+        if is_corrected[read_index]:
+            continue
+        cur_load.append(read_index)
+        is_visited[read_index] = True
+        heap = [(0.0, 0, read_index)]
+        tick = 1
+        while heap:
+            _, _, cur = heapq.heappop(heap)
+            if is_corrected[cur]:
+                continue
+            cur_correct.append(cur)
+            is_corrected[cur] = True
+            for nb in align_lists[cur]:
+                if is_visited[nb]:
+                    continue
+                cur_load.append(nb)
+                is_visited[nb] = True
+                dist = _jaccard_distance(align_lists[cur], align_lists[nb])
+                heapq.heappush(heap, (dist, tick, nb))
+                tick += 1
+            if len(cur_load) * memory_per_read > max_memory:
+                break
+        if len(cur_load) * memory_per_read > max_memory:
+            nb_written += len(cur_load)
+            partitions.append((cur_load, cur_correct))
+            cur_load = []
+            cur_correct = []
+            is_visited = [False] * n
+
+    if cur_load:
+        nb_written += len(cur_load)
+        partitions.append((cur_load, cur_correct))
+    return partitions, nb_written
+
+
+def _jaccard_distance(v1, v2):
+    """computeJaccardDistance (ReadCorrection.hpp:4462-4496): sorted-list
+    merge counting shared/total elements."""
+    i = j = 0
+    shared = 0
+    elements = 0
+    while i < len(v1) and j < len(v2):
+        if v1[i] == v2[j]:
+            shared += 1
+            i += 1
+            j += 1
+        elif v1[i] < v2[j]:
+            i += 1
+        else:
+            j += 1
+        elements += 1
+    if elements == 0:
+        return 1.0
+    return float(np.float32(1.0) - np.float32(shared) / np.float32(elements))
+
+
+def correct_read(read: SimpleRead, aligned, reads, params,
+                 min_identity: float, min_overlap_length: int, band: int):
+    """correctRead (ReadCorrection.hpp:4958-5002). Returns minimizer array
+    (the corrected read, or the input read when correction is not possible)
+    paired implicitly with write-time density filtering."""
+    if not aligned:
+        return read.minimizers
+
+    best = filter_alignments(read, aligned, reads, params, min_identity,
+                             min_overlap_length, band)
+    if not best:
+        return read.minimizers
+
+    ref_low = apply_density_threshold(read, params.density_assembly)
+    return perform_poa_correction(ref_low, best, reads, params, band)
+
+
+def filter_alignments(read, aligned, reads, params, min_identity,
+                      min_overlap_length, band):
+    """filterAlignments (ReadCorrection.hpp:5006-5117): chain each aligned
+    query at init density, keep (query, orientation) passing the overlap /
+    identity filters."""
+    out = []
+    min_identity = np.float32(min_identity)
+    for q_index in aligned:
+        query = reads[q_index]
+        anchors = chainer.collect_anchors(read, query)
+        if anchors[0].shape[0] == 0:
+            continue
+        result = chainer.compute_chaining_alignment(
+            anchors, read, query, band, params.minimizer_size)
+        if result.overhang_start > 1000 or result.overhang_end > 1000:
+            continue
+        if result.align_length < min_overlap_length:
+            continue
+        if np.float32(result.identity) < min_identity:
+            continue
+        if not result.alignments:
+            continue
+        out.append((q_index, result.is_query_reversed))
+    return out
+
+
+def perform_poa_correction(ref_low: SimpleRead, best, reads, params, band):
+    """performPoaCorrection4 (ReadCorrection.hpp:5151-5581)."""
+    graph = poa.PoaGraph(ref_low.minimizers, ref_low.qualities)
+    ref_min_set = set(int(m) for m in ref_low.minimizers)
+
+    for (q_index, is_rev) in best:
+        query = reads[q_index]
+        q_low = apply_density_threshold(query, params.density_assembly)
+        if q_low.minimizers.shape[0] < MIN_READ_MINIMIZERS:
+            continue
+        if is_rev:
+            q_low = q_low.reverse_complement()
+        anchors = chainer.collect_anchors(ref_low, q_low)
+        result = chainer.compute_chaining_alignment(
+            anchors, ref_low, q_low, band, params.minimizer_size)
+        graph.add_alignment(result.alignments, ref_low.minimizers,
+                            q_low.minimizers, q_low.qualities)
+
+    walked = poa.compute_path(graph, ref_min_set)
+    if walked is None:
+        corrected_mins = list(ref_low.minimizers)
+        corrected_quals = list(ref_low.qualities)
+    else:
+        corrected_mins, corrected_quals = walked
+    trimmed, _ = poa.trim_corrected_path(ref_low.minimizers, corrected_mins,
+                                         corrected_quals)
+    return np.asarray(trimmed, np.uint32)
+
+
+def _write_read(writer, read_index: int, minimizers, params, checksum: int):
+    """writeRead (ReadCorrection.hpp:6367-6484): density filter ->
+    palindrome purge -> {n, linear, minimizers} record + checksum."""
+    minimizers = np.asarray(minimizers, np.uint32)
+    if minimizers.shape[0] < params.kminmer_size_first:
+        return checksum
+    keep = minimizer_is_selected(minimizers.astype(np.uint64),
+                                 params.density_assembly)
+    minimizers = minimizers[keep]
+    if minimizers.shape[0] < params.kminmer_size_first:
+        return checksum
+    minimizers = purge_palindrome(minimizers, params.kminmer_size_first,
+                                  params.kminmer_size_last)
+    n = int(minimizers.shape[0])
+    for m in minimizers.tolist():
+        checksum = (checksum + read_index * m * n) & 0xFFFFFFFFFFFFFFFF
+    writer.write(records.MinimizerRead(read_index, minimizers, None, None,
+                                       None, is_circular=bool(CONTIG_LINEAR)))
+    return checksum

@@ -1,11 +1,10 @@
-"""`asm` pipeline orchestrator (HiFi / skip-correction path).
+"""`asm` pipeline orchestrator (HiFi and ONT paths).
 
 Mirrors AssemblyPipeline (src/pipeline/AssemblyPipeline.hpp:87-1016): single
 process (no subprocess re-invocation), stage checkpoints as marker files,
-parameters.gz per pass, pass_k snapshots for the gfa subcommand.
-
-ONT read correction is not wired yet (round-2: correction subsystem); use
---in-hifi or --skip-correction inputs.
+parameters.gz per pass, pass_k snapshots for the gfa subcommand. ONT inputs
+run the read-correction subsystem (correction/) between read selection and
+the first graph pass.
 """
 
 import logging
@@ -49,6 +48,9 @@ class Pipeline:
         self.min_contig_coverage = max(1.0, min_contig_coverage)
         self.use_hpc = platform == "hifi"
         self.skip_correction = skip_correction or platform == "hifi"
+        # platform presets (AssemblyPipeline.hpp:292-325)
+        self.read_correction_min_identity = 0.99 if platform == "hifi" else 0.96
+        self.read_correction_min_overlap = 1000
         self.first_k = 4
         self.last_k = 0
 
@@ -107,6 +109,18 @@ class Pipeline:
                                      self.first_k, self.max_k)
         log.info("Total read bp: %d | N50 read length: %d | k: %d..%d",
                  stats.nb_bases, stats.n50, self.first_k, self.last_k)
+
+        if not self.skip_correction:
+            log.info("Correcting reads")
+            if not self._done("correctReads"):
+                from ..correction import stage as correction_stage
+                params = self.make_params(self.first_k, self.first_k)
+                params.save(os.path.join(self.tmp_dir, "parameters.gz"))
+                correction_stage.run_read_correction(
+                    self.tmp_dir, params,
+                    min_identity=self.read_correction_min_identity,
+                    min_overlap_length=self.read_correction_min_overlap)
+                self._mark("correctReads")
 
         prev_k = self.first_k
         pass_index = 0

@@ -16,7 +16,8 @@ from metamdbg_tpu.io import records
 from metamdbg_tpu.sketch import read_selection
 
 
-def make_params(k, prevk, first_k=4, last_k=80, density=0.005):
+def make_params(k, prevk, first_k=4, last_k=80, density=0.005,
+                platform="hifi"):
     spacing = 1 / np.float32(density)
     return records.Parameters(
         minimizer_size=15, kminmer_size=k, density_assembly=density,
@@ -25,7 +26,8 @@ def make_params(k, prevk, first_k=4, last_k=80, density=0.005):
         kminmer_overlap_mean=float(spacing * (k - 2)),
         kminmer_size_prev=prevk, kminmer_size_last=last_k,
         mean_read_length=8000, density_correction=0.025,
-        use_homopolymer_compression=True, data_type=0, snpmer_size=21)
+        use_homopolymer_compression=(platform == "hifi"),
+        data_type=0 if platform == "hifi" else 1, snpmer_size=21)
 
 
 def compare_pass(ref_dir, our_dir, k, check_filter=True):
@@ -108,20 +110,38 @@ def run_final_stages(ref_dir, our_dir, first_k, last_k, log=print):
 
 
 def run_chain(fastq, ref_dir, our_dir, first_k=4, last_k=10, stop_on_diff=True,
-              log=print):
+              log=print, platform="hifi"):
     os.makedirs(os.path.join(ref_dir, "filter"), exist_ok=True)
     os.makedirs(os.path.join(ref_dir, "smallContigs"), exist_ok=True)
     os.makedirs(our_dir, exist_ok=True)
 
-    p = make_params(first_k, first_k, first_k=first_k, last_k=last_k)
+    p = make_params(first_k, first_k, first_k=first_k, last_k=last_k,
+                    platform=platform)
     refharness.setup_tmpdir(ref_dir, [fastq], p)
-    refharness.run_read_selection(ref_dir, threads=1)
-    read_selection.run_read_selection([fastq], our_dir, p, skip_correction=True)
+    if platform == "hifi":
+        refharness.run_read_selection(ref_dir, threads=1)
+        read_selection.run_read_selection([fastq], our_dir, p,
+                                          skip_correction=True)
+    else:
+        from metamdbg_tpu.correction import stage as correction_stage
+        refharness.run_read_selection(ref_dir, skip_correction=False, threads=1)
+        refharness.run_read_correction(ref_dir, threads=1)
+        read_selection.run_read_selection([fastq], our_dir, p)
+        with open(os.path.join(our_dir, "input.txt"), "w") as f:
+            f.write(os.path.abspath(fastq) + "\n")
+        correction_stage.run_read_correction(our_dir, p)
+        a = open(os.path.join(ref_dir, "read_data_corrected.txt"), "rb").read()
+        b = open(os.path.join(our_dir, "read_data_corrected.txt"), "rb").read()
+        if a != b:
+            log("read_data_corrected.txt: DIVERGED")
+            return False, first_k - 1
+        log("read_data_corrected.txt: parity OK")
 
     all_ok = True
     for k in range(first_k, last_k + 1):
         prevk = max(first_k, k - 1)
-        p = make_params(k, prevk, first_k=first_k, last_k=last_k)
+        p = make_params(k, prevk, first_k=first_k, last_k=last_k,
+                        platform=platform)
         p.save(os.path.join(ref_dir, "parameters.gz"))
         p.save(os.path.join(our_dir, "parameters.gz"))
 

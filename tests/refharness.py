@@ -93,3 +93,14 @@ def run_remove_overlaps(tmp_dir: str, threads: int = 1):
 def run_remove_repeats(tmp_dir: str, threads: int = 1):
     cmd = [REF_BIN, "removeRepeats", tmp_dir, "--threads", str(threads)]
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def run_read_correction(tmp_dir: str, min_identity: float = 0.96,
+                        min_overlap: int = 1000, threads: int = 1):
+    """`metaMDBG readCorrection` (AssemblyPipeline.hpp:742-762). threads=1
+    makes the corrected-record order deterministic."""
+    cmd = [REF_BIN, "readCorrection", tmp_dir,
+           "--min-identity", str(min_identity),
+           "--min-overlap-length", str(min_overlap),
+           "--threads", str(threads)]
+    subprocess.run(cmd, check=True, capture_output=True)

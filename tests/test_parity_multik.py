@@ -30,3 +30,21 @@ def test_multik_chain_parity(tmp_path):
         first_k=4, last_k=8, log=messages.append)
     assert ok, "\n".join(messages)
     assert reached == 8
+
+
+def test_multik_chain_parity_ont(tmp_path):
+    """ONT path: readSelection (correction settings) -> readCorrection ->
+    chained multi-k passes -> final post-processing, all byte-compared."""
+    genome = datagen.random_genome(60_000, seed=61)
+    fq = str(tmp_path / "reads.fastq.gz")
+    datagen.write_fastq(fq, datagen.sample_reads(genome, 18, 6000,
+                                                 error_rate=0.03, seed=62))
+    messages = []
+    ok, reached = multik_driver.run_chain(
+        fq, str(tmp_path / "ref"), str(tmp_path / "ours"),
+        first_k=4, last_k=7, log=messages.append, platform="ont")
+    assert ok, "\n".join(messages)
+    final_ok = multik_driver.run_final_stages(
+        str(tmp_path / "ref"), str(tmp_path / "ours"), 4, 7,
+        log=messages.append)
+    assert final_ok, "\n".join(messages)
