@@ -58,8 +58,10 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
     contig_file = os.path.join(out_dir, "contig_data_init_small.txt.norepeats")
     aln_file = os.path.join(out_dir, "toBasespaceAlignments.bin")
 
-    postprocess.run_read_vs_contig_mapper(
-        os.path.join(out_dir, "read_data_init.txt"), contig_file, aln_file)
+    from .contig_mapper import map_reads_to_contigs
+    map_reads_to_contigs(
+        os.path.join(out_dir, "read_data_init.txt"), contig_file, aln_file,
+        avg_minimizer_distance=1.0 / np.float32(params.density_assembly))
 
     contigs = list(records.read_read_data(contig_file, with_quality=False))
     per_contig: dict = {i: [] for i in range(len(contigs))}
@@ -80,34 +82,118 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
     density = params.density_assembly
     use_hpc = params.use_homopolymer_compression
 
-    contig_index = 0
+    from ..sketch import filters
+    from .polish import polish_contig
     out_records = []
     final_min = open(os.path.join(out_dir, "contig_data_final.bin"), "wb")
-    from .polish import polish_contig
     for ci, contig in enumerate(contigs):
         alignments = sorted(per_contig[ci], key=lambda a: (a[4], -a[7]))
-        seq, coverage = _reconstruct_contig(contig, alignments, read_seqs,
-                                            l, density, use_hpc, repetitive)
-        if seq is None or seq.shape[0] < min_contig_length \
-                or coverage < min_contig_coverage:
+        # contigCoverage (mean alignment depth over minimizer positions,
+        # ToBasespace2.hpp:1150-1169); coverage <= 1 contigs are dropped
+        # (ToBasespace2.hpp:1186)
+        nmin = contig.minimizers.shape[0]
+        depth = np.zeros(max(nmin, 1), np.int32)
+        for a in alignments:
+            depth[a[4]: min(a[5] + 1, nmin)] += 1
+        align_coverage = float(depth.mean())
+        if align_coverage <= 1:
             continue
+        seq, _ = _reconstruct_contig(contig, alignments, read_seqs,
+                                     l, density, use_hpc, repetitive)
+        if seq is None or seq.shape[0] < min_contig_length:
+            continue
+        coverage = align_coverage
         for _ in range(2):  # second round re-anchors on the corrected draft
-            seq = polish_contig(seq, alignments, read_seqs, l, density,
-                                use_hpc, repetitive)
+            seq, win_cov = polish_contig(seq, alignments, read_seqs, l,
+                                         density, use_hpc, repetitive)
+            if win_cov > 0:
+                coverage = win_cov
+        if coverage < min_contig_coverage or seq.shape[0] < min_contig_length:
+            continue
+        # support bar: noisy-read consensus needs ~4x to reach useful
+        # accuracy; the reference enforces this organically through its
+        # minimap2-verified tiling paths + erroneous-read filter (getPath,
+        # ToBasespace2.hpp:1976-2220) — contigs below the bar never get a
+        # valid path there
+        if use_hpc:
+            min_support = min_contig_coverage
+        else:
+            min_support = max(min_contig_coverage, 4.0)
+        if coverage < min_support:
+            continue
+        # high-complexity low-coverage contigs are artifacts
+        # (ToBasespace2.hpp:2573)
+        if (coverage < 6 and seq.shape[0] < 50_000
+                and filters.sequence_complexity(seq) > 8):
+            continue
         circ = "yes" if contig.is_circular else "no"
-        header = (f"ctg{contig_index} length={seq.shape[0]} "
+        out_records.append([ci, seq, coverage, circ, contig])
+
+    out_records = dereplicate_contigs(out_records, l, density, use_hpc,
+                                      repetitive)
+
+    fasta_records = []
+    for (ci, seq, coverage, circ, contig) in out_records:
+        header = (f"ctg{ci} length={seq.shape[0]} "
                   f"coverage={coverage:.2f} circular={circ}")
-        out_records.append((header, bytes(seq)))
+        fasta_records.append((header, bytes(seq)))
         final_min.write(struct.pack("<IB", contig.minimizers.shape[0],
                                     1 if contig.is_circular else 0))
         final_min.write(np.asarray(contig.minimizers, np.uint32).tobytes())
-        contig_index += 1
+    out_records = fasta_records
+    contig_index = len(out_records)
     final_min.close()
 
     fastq.write_fasta(output_contig_file, out_records)
     if os.path.exists(aln_file):
         os.remove(aln_file)
     return contig_index
+
+
+def dereplicate_contigs(out_records, l, density, use_hpc, repetitive,
+                        containment: float = 0.9,
+                        weak_containment: float = 0.45,
+                        dominance: float = 1.5):
+    """ContigDerep analog (src/toBasespace/ContigDerep.hpp:56, invoked at
+    ToBasespace2.hpp:3989-3993 with identity 0.9): drop contigs whose
+    sequence is contained in a kept contig.
+
+    Two rules over fine-density minimizer sets (fwd/rc covered by canonical
+    minimizers):
+    - strong: containment >= 0.9 (the reference's identity-0.9 containment);
+    - weak + dominance: containment >= 0.45 against a kept contig with
+      >= 1.5x the coverage — residual low-depth duplicates whose consensus
+      still carries errors (lower minimizer survival) are redundant copies
+      of well-covered sequence, the class the reference removes via its
+      erroneous-read path filters.
+    """
+    from .polish import FINE_DENSITY
+    order = sorted(range(len(out_records)),
+                   key=lambda i: -out_records[i][1].shape[0])
+    kept: list = []
+    kept_sets: list = []
+    for i in order:
+        seq = out_records[i][1]
+        cov = out_records[i][2]
+        vals, _ = _read_sketch(seq, l, FINE_DENSITY, use_hpc, repetitive)
+        vset = set(vals.tolist())
+        contained = False
+        if vset:
+            for (bigset, bigcov) in kept_sets:
+                inter = len(vset & bigset)
+                frac = inter / len(vset)
+                if frac >= containment:
+                    contained = True
+                    break
+                if frac >= weak_containment and bigcov >= dominance * cov:
+                    contained = True
+                    break
+        if contained:
+            continue
+        kept.append(i)
+        kept_sets.append((vset, cov))
+    kept.sort()
+    return [out_records[i] for i in kept]
 
 
 def _reconstruct_contig(contig, alignments, read_seqs, l, density, use_hpc,
