@@ -179,7 +179,22 @@ def window_consensus(draft_window: np.ndarray, frags: list,
 
     scores, tb, end_i, end_k = banded_align_batch(codes, lens, backbone, offs)
     ops_f, ops_b = backtrack_batch(tb, end_i, end_k, offs, Lb)
+    return pileup_vote(draft_window, codes, scores, ops_f, ops_b,
+                       min_depth=min_depth)
 
+
+def pileup_vote(draft_window: np.ndarray, codes: np.ndarray,
+                scores: np.ndarray, ops_f: np.ndarray, ops_b: np.ndarray,
+                min_depth: int = 2):
+    """Column pileup + consensus from alignment transcripts (host or device).
+
+    codes: (F, Lf) u8 fragment base codes; ops in reverse alignment order
+    with -1 gaps / -2 padding (banded_align_batch / align_fragments_device).
+    Returns (consensus u8, mean depth, per-output-base depth).
+    """
+    backbone = _CODE[draft_window]
+    Lb = backbone.shape[0]
+    F = codes.shape[0]
     keep = scores > 0
     votes = np.zeros((Lb, 5), np.int32)
     ins_votes: list[dict] = [dict() for _ in range(Lb + 1)]
@@ -213,6 +228,18 @@ def window_consensus(draft_window: np.ndarray, frags: list,
                 if c < 4:
                     votes[y, c] += 1
 
+    return consensus_from_votes(draft_window, votes, ins_votes, min_depth)
+
+
+def consensus_from_votes(draft_window: np.ndarray, votes: np.ndarray,
+                         ins_votes: list, min_depth: int = 2):
+    """Assemble the consensus from the vote tables (host or device source).
+
+    votes: (Lb, 5) counts (A C G T DEL); ins_votes: per-column dicts of
+    insertion-string counts. Returns (consensus u8, mean depth,
+    per-output-base depth)."""
+    backbone = _CODE[draft_window]
+    Lb = backbone.shape[0]
     depth = votes.sum(axis=1)
     best = votes.argmax(axis=1)
     rngb = np.arange(Lb)
@@ -225,7 +252,7 @@ def window_consensus(draft_window: np.ndarray, frags: list,
     out = []
     out_depth = []
     for j in range(Lb):
-        ins = ins_votes[j]
+        ins = ins_votes[j] if j < len(ins_votes) else None
         if ins and depth[j] >= min_depth:
             n_ins = sum(ins.values())
             if n_ins * 2 > depth[j]:

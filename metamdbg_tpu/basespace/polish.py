@@ -9,6 +9,8 @@ replacement). Window coverage doubles as the honest per-contig coverage
 estimate reported in contig headers.
 """
 
+import os
+
 import numpy as np
 
 from .consensus import MAX_FRAGS, WINDOW, window_consensus
@@ -16,6 +18,54 @@ from .reconstruct import _read_sketch, _revcomp
 
 FINE_DENSITY = 0.05
 MARGIN = 12
+DEVICE_FRAG_LEN = 640   # fixed device bucket (fragment pad length)
+
+
+def _device_vote_windows(draft, frags, offsets, n_windows):
+    """Batch ALL full-size windows' fragments into one device align+vote
+    call (kernels/consensus_jax.py) — only the tiny vote tables and sparse
+    insertion events leave the device. The ragged tail window falls back to
+    the host path. Returns {window: (votes (LB,5), ins per-col dicts)}."""
+    from .consensus import _CODE
+    from ..kernels.consensus_jax import vote_fragments_device
+
+    n = draft.shape[0]
+    rows = []
+    for w in range(n_windows):
+        w0, w1 = w * WINDOW, min((w + 1) * WINDOW, n)
+        if w1 - w0 != WINDOW:
+            continue  # host path handles the tail window
+        for (f, o) in zip(frags[w], offsets[w]):
+            rows.append((w, f[:DEVICE_FRAG_LEN], o))
+    if not rows:
+        return {}
+    N = len(rows)
+    codes = np.full((N, DEVICE_FRAG_LEN), 4, np.uint8)
+    lens = np.zeros(N, np.int64)
+    offs = np.zeros(N, np.int64)
+    wins = np.zeros(N, np.int64)
+    win_ids = sorted(set(r[0] for r in rows))
+    win_pos = {w: i for i, w in enumerate(win_ids)}
+    backbones = np.zeros((len(win_ids), WINDOW), np.uint8)
+    for w in win_ids:
+        backbones[win_pos[w]] = _CODE[draft[w * WINDOW:(w + 1) * WINDOW]]
+    for i, (w, f, o) in enumerate(rows):
+        codes[i, :f.shape[0]] = _CODE[f]
+        lens[i] = f.shape[0]
+        offs[i] = o
+        wins[i] = win_pos[w]
+
+    votes, ins = vote_fragments_device(codes, lens, backbones, wins, offs)
+    out = {}
+    for w in win_ids:
+        wi = win_pos[w]
+        per_col: list = [dict() for _ in range(WINDOW + 1)]
+        for (col, s), cnt in ins[wi].items():
+            if 0 <= col <= WINDOW:
+                d = per_col[col]
+                d[s] = d.get(s, 0) + cnt
+        out[w] = (votes[wi], per_col)
+    return out
 
 
 def _unique_map(vals, pos):
@@ -118,12 +168,23 @@ def polish_contig(draft: np.ndarray, read_alignments, read_seqs, l: int,
             frags[w].append(seq[r0:r1])
             offsets[w].append(int((c0 - w0) + (r0 - _interp(ch, c0))))
 
+    use_device = os.environ.get("METAMDBG_DEVICE_CONSENSUS", "0") == "1"
+    device_votes = _device_vote_windows(draft, frags, offsets, n_windows) \
+        if use_device else None
+
     pieces = []
     depths = []
     col_depths = []
     for w in range(n_windows):
         w0, w1 = w * WINDOW, min((w + 1) * WINDOW, n)
-        cons, depth, cols = window_consensus(draft[w0:w1], frags[w], offsets[w])
+        if device_votes is not None and w in device_votes:
+            from .consensus import consensus_from_votes
+            votes_w, ins_w = device_votes[w]
+            cons, depth, cols = consensus_from_votes(draft[w0:w1], votes_w,
+                                                     ins_w)
+        else:
+            cons, depth, cols = window_consensus(draft[w0:w1], frags[w],
+                                                 offsets[w])
         depths.append(depth)
         pieces.append(cons)
         col_depths.append(cols)
