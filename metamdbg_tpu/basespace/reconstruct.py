@@ -103,11 +103,14 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
         if seq is None or seq.shape[0] < min_contig_length:
             continue
         coverage = align_coverage
-        for _ in range(2):  # second round re-anchors on the corrected draft
+        for round_i in range(2):  # round 2 re-anchors on the corrected draft
             seq, win_cov = polish_contig(seq, alignments, read_seqs, l,
                                          density, use_hpc, repetitive)
             if win_cov > 0:
                 coverage = win_cov
+            if round_i == 0 and contig.is_circular:
+                seq = close_circular(seq, alignments, read_seqs, l, use_hpc,
+                                     repetitive)
         if coverage < min_contig_coverage or seq.shape[0] < min_contig_length:
             continue
         # support bar: noisy-read consensus needs ~4x to reach useful
@@ -203,77 +206,223 @@ def _reconstruct_contig(contig, alignments, read_seqs, l, density, use_hpc,
     if n == 0 or not alignments:
         return None, 0.0
 
-    # greedy tiling by contig interval: repeatedly take the alignment
-    # starting at/before the current end+1 that extends furthest; if none
-    # connects, jump across the gap to the next alignment
-    tiling = []
-    alns = sorted(alignments, key=lambda a: (a[4], -(a[5])))
-    current_end = alns[0][4] - 1  # start tiling at the earliest-aligned base
-    while alns:
-        best = None
-        for a in alns:
-            if a[4] <= current_end + 1:
-                if best is None or a[5] > best[5]:
-                    best = a
-            else:
-                break
-        if best is None:
-            best = alns[0]  # gap: jump to the next alignment
-        tiling.append(best)
-        current_end = best[5]
-        alns = [a for a in alns if a[5] > current_end]
-        if current_end >= n - 2:
-            break
-
-    if not tiling:
-        return None, 0.0
-
     # depth coverage over minimizer positions
     depth = np.zeros(n, np.int32)
     for a in alignments:
         depth[a[4]: min(a[5] + 1, n)] += 1
     coverage = float(depth.mean()) if n else 0.0
 
-    # splice bases at shared minimizer anchors
-    pieces = []
-    prev_anchor_contig = None   # contig minimizer index of last emitted anchor
-    for t, a in enumerate(tiling):
-        read_idx = a[0]
-        is_rev = bool(a[6])
-        seq = read_seqs.get(read_idx)
+    # junction-verified tiling (role of getPath + getBestSuccessor,
+    # ToBasespace2.hpp:1976-2390): extend the read path one read at a time,
+    # requiring every junction to be a contig minimizer anchored UNIQUELY in
+    # both reads — a duplicated or absent anchor would silently delete or
+    # duplicate the spanned sequence. Candidates are tried by furthest
+    # contig extension; when no verified successor exists the path breaks.
+    anchor_cache: dict = {}
+
+    def anchors_of(a):
+        key = (a[0], a[6])
+        hit = anchor_cache.get(key)
+        if hit is not None:
+            return hit
+        seq = read_seqs.get(a[0])
         if seq is None:
-            continue
-        if is_rev:
+            anchor_cache[key] = None
+            return None
+        if a[6]:
             seq = _revcomp(seq)
         vals, pos = _read_sketch(seq, l, density, use_hpc, repetitive)
         val_to_pos: dict = {}
         for v, p in zip(vals.tolist(), pos.tolist()):
             val_to_pos.setdefault(v, []).append(p)
+        anchor_cache[key] = (seq, val_to_pos)
+        return anchor_cache[key]
 
-        # anchor range on the contig for this read
-        c_start, c_end = a[4], min(a[5] + 1, n - 1)
-        if prev_anchor_contig is None:
-            start_idx = c_start
-        else:
-            start_idx = prev_anchor_contig
-        # find first and last contig minimizers present in this read
-        first = None
-        last = None
-        for j in range(start_idx, c_end + 1):
-            if int(m[j]) in val_to_pos:
-                if first is None:
-                    first = j
-                last = j
-        if first is None or last is None or last <= (prev_anchor_contig or -1):
+    def shared_junction(cur_map, nxt_map, lo, hi):
+        for j in range(hi, lo - 1, -1):
+            v = int(m[j])
+            cp = cur_map.get(v)
+            np_ = nxt_map.get(v)
+            if cp is not None and np_ is not None \
+                    and len(cp) == 1 and len(np_) == 1:
+                return j
+        return None
+
+    alns = sorted(alignments, key=lambda a: (a[4], -(a[5])))
+    # start: best score among the leftmost alignments (getPath start rule)
+    min_start = alns[0][4]
+    start = max((a for a in alns if a[4] == min_start), key=lambda a: a[7])
+
+    pieces = []
+    cur = start
+    cur_data = anchors_of(cur)
+    cur_pos = None
+    while True:
+        if cur_data is None:
+            break
+        seq, vmap = cur_data
+        c_start, c_end = cur[4], min(cur[5] + 1, n - 1)
+        if cur_pos is None:
+            first = next((j for j in range(c_start, c_end + 1)
+                          if len(vmap.get(int(m[j]), ())) == 1), None)
+            if first is None:
+                break
+            cur_pos = vmap[int(m[first])][0]
+
+        # candidate successors: overlap cur, extend furthest first
+        cands = [a for a in alns
+                 if a[5] > cur[5] and a[4] < c_end]
+        cands.sort(key=lambda a: (-(a[5]), a[4], a[0]))
+        advanced = False
+        for cand in cands:
+            nd = anchors_of(cand)
+            if nd is None:
+                continue
+            lo = max(c_start, cand[4])
+            hi = min(c_end, min(cand[5] + 1, n - 1))
+            if hi < lo:
+                continue
+            junction = shared_junction(vmap, nd[1], lo, hi)
+            if junction is None:
+                continue
+            p_end = vmap[int(m[junction])][0]
+            if p_end > cur_pos:
+                pieces.append(seq[cur_pos:p_end])
+            cur = cand
+            cur_data = nd
+            cur_pos = nd[1][int(m[junction])][0]
+            advanced = True
+            break
+        if advanced:
             continue
-        p_start = val_to_pos[int(m[first])][0]
-        p_end = val_to_pos[int(m[last])][0]
-        if p_end <= p_start:
-            continue
-        pieces.append(seq[p_start:p_end])
-        prev_anchor_contig = last
+
+        # no verified successor: finish the current read and either stop or
+        # restart past the break (unavoidable coverage gap)
+        if contig.is_circular and cur[5] >= n - 2:
+            # circular junction: keep the read's tail past the final anchor
+            # so the wrap overlap can be closed/trimmed precisely
+            # (readPathsToContigs circular margin, ToBasespace2.hpp:2506-2522
+            # + ContigTrimmer)
+            pieces.append(seq[cur_pos:])
+            break
+        last = next((j for j in range(c_end, c_start - 1, -1)
+                     if len(vmap.get(int(m[j]), ())) == 1), None)
+        if last is not None:
+            p_end = vmap[int(m[last])][0]
+            if p_end > cur_pos:
+                pieces.append(seq[cur_pos:p_end])
+        nxt = next((a for a in alns if a[4] > cur[5]), None)
+        if nxt is None:
+            break
+        cur = nxt
+        cur_data = anchors_of(cur)
+        cur_pos = None
 
     if not pieces:
         return None, coverage
-    # append the final minimizer's span (l bases) from the last read
-    return np.concatenate(pieces), coverage
+    out = np.concatenate(pieces)
+    if contig.is_circular:
+        out = trim_circular_overlap(out, l, density, use_hpc, repetitive)
+    return out, coverage
+
+
+def close_circular(seq: np.ndarray, alignments, read_seqs, l, use_hpc,
+                   repetitive, window: int = 4000):
+    """Close a circular contig's junction with a read that spans contig end
+    -> contig start (the reference reaches the same closure through its
+    circular tiling margin + ContigTrimmer, ToBasespace2.hpp:2506-2522).
+
+    Returns the closed sequence (core + read bridge) or the input unchanged.
+    """
+    from .polish import FINE_DENSITY
+    n = seq.shape[0]
+    if n < 2 * window:
+        return seq
+    head = seq[:window]
+    tail = seq[n - window:]
+
+    def unique_map(vals, pos):
+        occur: dict = {}
+        for v, p in zip(vals.tolist(), pos.tolist()):
+            occur.setdefault(v, []).append(p)
+        return {v: ps[0] for v, ps in occur.items() if len(ps) == 1}
+
+    hv, hp = _read_sketch(head, l, FINE_DENSITY, use_hpc, repetitive)
+    tv, tp = _read_sketch(tail, l, FINE_DENSITY, use_hpc, repetitive)
+    hmap = unique_map(hv, hp)
+    tmap = unique_map(tv, tp)
+
+    best = None
+    for a in alignments:
+        seq_r = read_seqs.get(a[0])
+        if seq_r is None:
+            continue
+        for oriented in ((_revcomp(seq_r),) if a[6] else (seq_r,)):
+            rv, rp = _read_sketch(oriented, l, FINE_DENSITY, use_hpc,
+                                  repetitive)
+            rmap = unique_map(rv, rp)
+            t_hits = sorted((rmap[v], q) for v, q in tmap.items()
+                            if v in rmap)
+            h_hits = sorted((rmap[v], q) for v, q in hmap.items()
+                            if v in rmap)
+            if len(t_hits) < 3 or len(h_hits) < 3:
+                continue
+            # consistent offsets within each side
+            t_off = np.asarray([p - q for p, q in t_hits], np.int64)
+            h_off = np.asarray([p - q for p, q in h_hits], np.int64)
+            t_med = np.median(t_off)
+            h_med = np.median(h_off)
+            t_ok = [x for x, d in zip(t_hits, t_off.tolist())
+                    if abs(d - t_med) <= 16]
+            h_ok = [x for x, d in zip(h_hits, h_off.tolist())
+                    if abs(d - h_med) <= 16]
+            if len(t_ok) < 3 or len(h_ok) < 3:
+                continue
+            p_t, q_t = t_ok[-1]       # last anchored read pos on the tail
+            p_h, q_h = h_ok[0]        # first anchored read pos on the head
+            if p_h <= p_t:
+                continue              # read does not run tail -> head
+            score = min(len(t_ok), len(h_ok))
+            if best is None or score > best[0]:
+                best = (score, q_h, n - window + q_t,
+                        oriented[p_t:p_h])
+    if best is None:
+        return seq
+    _, cut_head, cut_tail, bridge = best
+    return np.concatenate([seq[cut_head:cut_tail], bridge])
+
+
+def trim_circular_overlap(seq: np.ndarray, l, density, use_hpc, repetitive,
+                          window: int = 4000):
+    """ContigTrimmer analog (src/toBasespace/ContigTrimmer.hpp:59): a
+    circular contig's suffix that repeats its prefix is trimmed so the
+    sequence is exactly one period.
+
+    Anchors: fine-density minimizers shared between the first and last
+    `window` bp with a consistent offset (>= 3 votes)."""
+    from .polish import FINE_DENSITY
+    n = seq.shape[0]
+    if n < 2 * l:
+        return seq
+    w = min(window, n // 2)
+    head = seq[:w]
+    tail = seq[n - w:]
+    hv, hp = _read_sketch(head, l, FINE_DENSITY, use_hpc, repetitive)
+    tv, tp = _read_sketch(tail, l, FINE_DENSITY, use_hpc, repetitive)
+    hmap: dict = {}
+    for v, p in zip(hv.tolist(), hp.tolist()):
+        hmap.setdefault(v, []).append(p)
+    hmap = {v: ps[0] for v, ps in hmap.items() if len(ps) == 1}
+    offsets = []
+    for v, p in zip(tv.tolist(), tp.tolist()):
+        hpos = hmap.get(v)
+        if hpos is not None:
+            offsets.append((n - w + p) - hpos)
+    if len(offsets) < 3:
+        return seq
+    offsets = np.asarray(offsets, np.int64)
+    period = int(np.median(offsets))
+    votes = int(np.sum(np.abs(offsets - period) <= 16))
+    if votes < 3 or period <= 0 or period >= n:
+        return seq
+    return seq[:period]

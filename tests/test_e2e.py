@@ -43,15 +43,15 @@ def test_asm_single_circular_genome(tmp_path):
     # full-length recovery (within minimizer-anchor resolution)
     assert abs(len(seqs[0]) - genome.shape[0]) < 2000
 
-    # sampled exact 40-mers mostly present (unpolished draft ~ read accuracy)
+    # polished accuracy: sampled exact 101-mers nearly all present
     g = genome.tobytes().decode()
     gg = g + g
     contig = seqs[0]
     rc = contig.translate(str.maketrans("ACGT", "TGCA"))[::-1]
-    samples = range(0, len(contig) - 40, 1000)
+    samples = range(0, len(contig) - 101, 500)
     hits = sum(1 for i in samples
-               if contig[i:i + 40] in gg or rc[i:i + 40] in gg)
-    assert hits / len(samples) > 0.8
+               if contig[i:i + 101] in gg or rc[i:i + 101] in gg)
+    assert hits / len(samples) > 0.95
 
 
 def test_asm_resume_from_checkpoints(tmp_path):
