@@ -120,8 +120,15 @@ def _interp(chain, dp):
 
 
 def polish_contig(draft: np.ndarray, read_alignments, read_seqs, l: int,
-                  density: float, use_hpc: bool, repetitive=None):
-    """Returns (polished bases, window coverage median)."""
+                  density: float, use_hpc: bool, repetitive=None,
+                  min_end_depth: int | None = None):
+    """Returns (polished bases, window coverage median).
+
+    min_end_depth: pileup depth below which contig ENDS are trimmed
+    (default 2 for accurate reads, 3 for noisy reads whose depth<3
+    consensus stays near raw-read accuracy)."""
+    if min_end_depth is None:
+        min_end_depth = 2 if use_hpc else 3
     n = draft.shape[0]
     if n < 100:
         return draft, 0.0
@@ -192,7 +199,7 @@ def polish_contig(draft: np.ndarray, read_alignments, read_seqs, l: int,
     cols = np.concatenate(col_depths)
     # coverage-trim the contig ends (the reference trims its POA consensus
     # to the covered region, ContigPolisher.hpp:2587-2704)
-    covered = np.flatnonzero(cols >= 2)
+    covered = np.flatnonzero(cols >= min_end_depth)
     if covered.shape[0] == 0:
         return out[:0], 0.0
     out = out[covered[0]: covered[-1] + 1]

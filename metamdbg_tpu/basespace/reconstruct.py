@@ -121,7 +121,7 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
         if use_hpc:
             min_support = min_contig_coverage
         else:
-            min_support = max(min_contig_coverage, 4.0)
+            min_support = max(min_contig_coverage, 5.0)
         if coverage < min_support:
             continue
         # high-complexity low-coverage contigs are artifacts
