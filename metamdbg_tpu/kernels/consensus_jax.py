@@ -101,10 +101,10 @@ def _aligner(lf: int, lb: int):
             best_k = jnp.where(better, k_c.astype(jnp.int32), best_k)
             return (score, best_score, best_i, best_k), tb_row
 
-        init = (score0,
-                jnp.full((N,), NEG, jnp.int32),
-                jnp.zeros((N,), jnp.int32),
-                jnp.zeros((N,), jnp.int32))
+        # derive the carry inits from an input so their sharding "varying"
+        # status matches the loop outputs under shard_map
+        zero_n = (frag_lens * 0).astype(jnp.int32)
+        init = (score0, zero_n + jnp.int32(NEG), zero_n, zero_n)
         (score, best_score, best_i, best_k), tb_rows = jax.lax.scan(
             row, init, jnp.arange(1, lf + 1, dtype=jnp.int32))
         # tb: (lf+1, N, W), row 0 all TB_START
@@ -150,7 +150,7 @@ def _aligner(lf: int, lb: int):
                                     ob.astype(jnp.int32))
 
         init = (end_i.astype(jnp.int32), end_k.astype(jnp.int32),
-                jnp.ones((N,), bool))
+                (end_i * 0 == 0))  # varying-consistent all-True
         _, (ops_f, ops_b) = jax.lax.scan(step, init, None, length=max_steps)
         return ops_f.T, ops_b.T   # (N, steps)
 
@@ -262,12 +262,20 @@ def vote_fragments_device(frags: np.ndarray, frag_lens: np.ndarray,
         jnp.asarray(frags), jnp.asarray(frag_lens), jnp.asarray(backbones),
         jnp.asarray(win_of_frag), jnp.asarray(offsets))
     votes = np.asarray(votes)
-    ev_step = np.asarray(ev_step)
-    ev_attach = np.asarray(ev_attach)
-    ev_fpos = np.asarray(ev_fpos)
+    ins_votes = decode_insertion_events(frags, win_of_frag,
+                                        np.asarray(ev_step),
+                                        np.asarray(ev_attach),
+                                        np.asarray(ev_fpos), nw)
+    return votes, ins_votes
 
+
+def decode_insertion_events(frags, win_of_frag, ev_step, ev_attach, ev_fpos,
+                            nw: int):
+    """Host decode of sparse insertion events into per-window
+    {(attach_col, string): count} dicts. Events are in reverse alignment
+    order (ascending step); forward runs group by consecutive positions."""
     ins_votes: list = [dict() for _ in range(nw)]
-    for f in range(N):
+    for f in range(ev_step.shape[0]):
         ok = ev_step[f] >= 0
         if not ok.any():
             continue
@@ -275,8 +283,6 @@ def vote_fragments_device(frags: np.ndarray, frag_lens: np.ndarray,
         attach_f = ev_attach[f][ok]
         fpos_f = ev_fpos[f][ok]
         w = int(win_of_frag[f])
-        # events are in reverse alignment order (ascending step) -> forward
-        # order is descending step; group runs by (attach, consecutive fpos)
         order = np.argsort(-steps_f, kind="stable")
         runs = []
         cur = None  # [attach_col, [frag positions], last_pos]
@@ -296,4 +302,4 @@ def vote_fragments_device(frags: np.ndarray, frag_lens: np.ndarray,
             s = bytes(frags[f, ps].tolist())
             key = (a, s)
             d[key] = d.get(key, 0) + 1
-    return votes, ins_votes
+    return ins_votes
