@@ -38,6 +38,13 @@ def main(argv=None):
                      help="k of the graph to export (0 = list available)")
     gfa.add_argument("--output", default=None)
 
+    mp = sub.add_parser("map", help="color an assembly graph by references")
+    mp.add_argument("out_dir", help="assembly output dir (with tmp/)")
+    mp.add_argument("k", type=int, help="k of the saved graph to color")
+    mp.add_argument("--references", nargs="+", required=True,
+                    help="reference genome fasta file(s)")
+    mp.add_argument("--output-prefix", default=None)
+
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -67,6 +74,9 @@ def main(argv=None):
     elif args.command == "gfa":
         from metamdbg_tpu.pipeline.gfa import run_gfa
         run_gfa(args.out_dir, args.k, args.output)
+    elif args.command == "map":
+        from metamdbg_tpu.pipeline.mapref import run_map
+        run_map(args.out_dir, args.k, args.references, args.output_prefix)
     return 0
 
 

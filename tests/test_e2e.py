@@ -67,3 +67,38 @@ def test_asm_resume_from_checkpoints(tmp_path):
     main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
     second = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
     assert first == second
+
+
+def test_gfa_and_map_subcommands(tmp_path):
+    """gfa export + map coloring on a finished assembly."""
+    fq = str(tmp_path / "reads.fastq.gz")
+    genome = datagen.make_test_fastq(fq, genome_len=40_000, coverage=15,
+                                     mean_length=6000, error_rate=0.002,
+                                     seed=21)
+    out = str(tmp_path / "out")
+    main(["asm", "--out-dir", out, "--in-hifi", fq])
+
+    from metamdbg_tpu.pipeline.gfa import available_ks
+    ks = available_ks(os.path.join(out, "tmp"))
+    assert ks, "no pass_k snapshots saved"
+    k = ks[0]
+    main(["gfa", out, str(k)])
+    gfa_path = os.path.join(out, f"assemblyGraph_k{k}.gfa")
+    assert os.path.exists(gfa_path)
+    seg_lines = [ln for ln in open(gfa_path) if ln.startswith("S\t")]
+    assert seg_lines
+    # at least one segment carries a real sequence
+    assert any(set(ln.split("\t")[2]) <= set("ACGT") and len(ln.split("\t")[2]) > 50
+               for ln in seg_lines)
+
+    ref_fa = str(tmp_path / "ref.fasta")
+    with open(ref_fa, "w") as f:
+        f.write(">genome\n" + genome.tobytes().decode() + "\n")
+    main(["map", out, str(k), "--references", ref_fa])
+    color_csv = os.path.join(out, f"assemblyGraph_k{k}.contigColor.csv")
+    lines = open(color_csv).read().splitlines()
+    assert lines[0] == "Name,Color"
+    assert len(lines) > 1, "no unitigs colored by the reference"
+    named = set(ln.split(",")[0] for ln in lines[1:])
+    seg_names = set(ln.split("\t")[1] for ln in seg_lines)
+    assert named <= seg_names
