@@ -50,23 +50,34 @@ def _aligner(lf: int, lb: int):
         gap_k = jnp.int32(GAP) * jnp.arange(W, dtype=jnp.int32)
 
         bb_of_frag = backbones[win_of_frag]  # (N, lb)
-        # pad so the per-row backbone window is a dynamic slice (TPU-friendly)
+        # Re-base each fragment's backbone ONCE so the per-row window is a
+        # cheap static-width slice along axis 1 (the per-row per-fragment
+        # gather was 30x the cost of the rest of the DP).
+        # bbg[f, t] = backbone[offs[f] - BAND + t - 1] (255 out of range);
+        # row i needs backbone[j-1], j = offs + i - BAND + k  ->  t = i+k-? :
+        # bbg[:, (i-1) : (i-1)+W].
         PAD = W + BAND + 4
-        bb_pad = jnp.pad(bb_of_frag, ((0, 0), (PAD, PAD)),
+        span = lf + W
+        bb_pad = jnp.pad(bb_of_frag, ((0, 0), (PAD, PAD + span)),
                          constant_values=255)
+        # fragments whose offset would clip the re-based slice can't align
+        # anyway (band fully outside the backbone); zero their lengths
+        frag_ok = (offsets >= BAND - PAD) & (offsets <= lb + BAND)
+        frag_lens = jnp.where(frag_ok, frag_lens, 0)
+        base = jnp.clip(offsets.astype(jnp.int32) - BAND + PAD,
+                        0, bb_pad.shape[1] - span)
 
-        def slice_window(bb_row, start):
-            return jax.lax.dynamic_slice(bb_row, (start,), (W,))
+        def rebase(bb_row, start):
+            return jax.lax.dynamic_slice(bb_row, (start,), (span,))
+
+        bbg = jax.vmap(rebase)(bb_pad, base)   # (N, lf + W)
 
         def row(carry, i):
             score, best_score, best_i, best_k = carry
             rows = frag_lens >= i
             j = offs + (i - BAND) + ar
             jv = (j >= 0) & (j <= lb)
-            # bb[f, k] = backbone[j-1] = bb_pad[f, offs + i - 1 - BAND + k + PAD]
-            start = jnp.clip(offsets.astype(jnp.int32) + (i - 1 - BAND) + PAD,
-                             0, bb_pad.shape[1] - W)
-            bb = jax.vmap(slice_window)(bb_pad, start)
+            bb = jax.lax.dynamic_slice_in_dim(bbg, i - 1, W, axis=1)
             fb = frags[:, i - 1][:, None]
             sub = jnp.where(bb == fb, jnp.int32(MATCH), jnp.int32(MISMATCH))
             diag = score + jnp.where((j >= 1) & jv, sub, jnp.int32(NEG // 2))
@@ -232,9 +243,10 @@ def _voter(lf: int, lb: int, nw: int):
             last_valid, (ob_valid, ops_b), axis=1)
         attach = lv[1]  # last valid ob at or before this step
         is_ins = valid & (ops_b == -1)
-        # per-fragment compaction to MAX_INS_EVENTS events (sorted by step)
+        # per-fragment compaction to MAX_INS_EVENTS events (sorted by step);
+        # top_k on the negated key beats a full argsort of (N, steps)
         key = jnp.where(is_ins, idx, steps + 1)
-        order = jnp.argsort(key, axis=1)[:, :MAX_INS_EVENTS]
+        _, order = jax.lax.top_k(-key, MAX_INS_EVENTS)
         ev_step = jnp.take_along_axis(key, order, axis=1)
         ev_ok = ev_step <= steps
         ev_attach = jnp.take_along_axis(attach, order, axis=1)
