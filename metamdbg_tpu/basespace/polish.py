@@ -20,6 +20,17 @@ FINE_DENSITY = 0.05
 MARGIN = 12
 DEVICE_FRAG_LEN = 640   # fixed device bucket (fragment pad length)
 
+# the device consensus path is the default (the host numpy DP is ~20x
+# slower); METAMDBG_DEVICE_CONSENSUS=0 forces the host path
+_DEVICE_STATE: dict = {}
+
+
+def _device_enabled() -> bool:
+    if "on" not in _DEVICE_STATE:
+        _DEVICE_STATE["on"] = \
+            os.environ.get("METAMDBG_DEVICE_CONSENSUS", "1") != "0"
+    return _DEVICE_STATE["on"]
+
 
 def _device_vote_windows(draft, frags, offsets, n_windows):
     """Batch ALL full-size windows' fragments into one device align+vote
@@ -175,9 +186,14 @@ def polish_contig(draft: np.ndarray, read_alignments, read_seqs, l: int,
             frags[w].append(seq[r0:r1])
             offsets[w].append(int((c0 - w0) + (r0 - _interp(ch, c0))))
 
-    use_device = os.environ.get("METAMDBG_DEVICE_CONSENSUS", "0") == "1"
-    device_votes = _device_vote_windows(draft, frags, offsets, n_windows) \
-        if use_device else None
+    device_votes = None
+    if _device_enabled():
+        try:
+            device_votes = _device_vote_windows(draft, frags, offsets,
+                                                n_windows)
+        except Exception:  # no usable accelerator/backend: host fallback
+            _DEVICE_STATE["on"] = False
+            device_votes = None
 
     pieces = []
     depths = []

@@ -21,6 +21,7 @@ the sharded count table); the per-pair banded chaining DP is the batched
 device-kernel target (fixed band, lax.scan over anchors).
 """
 
+import os
 import struct
 
 import numpy as np
@@ -30,6 +31,73 @@ from .chainer import chain_dp, backtrack
 
 USED_COVERAGE_FOR_CORRECTION = 20   # ReadCorrection.hpp:1728
 MIN_READ_MINIMIZERS = 10            # Commons.hpp:2190 isReadTooShort
+
+# anchor-count buckets for the batched device chain DP
+_CHAIN_BUCKETS = (64, 256, 1024, 4096)
+_DEVICE_STATE: dict = {}
+
+
+def _device_enabled() -> bool:
+    if "on" not in _DEVICE_STATE:
+        _DEVICE_STATE["on"] = \
+            os.environ.get("METAMDBG_DEVICE_CHAIN", "1") != "0"
+    return _DEVICE_STATE["on"]
+
+
+def _chain_groups_device(groups, max_band):
+    """Batched device chaining of many anchor groups. groups: list of
+    (ref_pos, q_pos, is_rev, q_idx) arrays. Returns per-group
+    (score, positions) | None, same as chain_read_pair."""
+    from ..kernels.chain_jax import chain_dp_device
+
+    out = [None] * len(groups)
+    by_bucket: dict = {}
+    for gi, (rp, qp, rv, qi) in enumerate(groups):
+        n = rp.shape[0]
+        bucket = next((b for b in _CHAIN_BUCKETS if n <= b), None)
+        if bucket is None:  # enormous group: host path
+            out[gi] = chain_read_pair(rp, qp, rv, qi, max_band)
+            continue
+        by_bucket.setdefault(bucket, []).append(gi)
+
+    for bucket, idxs in by_bucket.items():
+        P = len(idxs)
+        ref_pos = np.zeros((P, bucket), np.int64)
+        q_pos = np.zeros((P, bucket), np.int64)
+        is_rev = np.zeros((P, bucket), bool)
+        n_anchors = np.zeros(P, np.int64)
+        for r, gi in enumerate(idxs):
+            rp, qp, rv, qi = groups[gi]
+            n = rp.shape[0]
+            ref_pos[r, :n] = rp
+            q_pos[r, :n] = qp
+            is_rev[r, :n] = rv
+            n_anchors[r] = n
+        scores, parents, best = chain_dp_device(ref_pos, q_pos, is_rev,
+                                                n_anchors, max_band)
+        for r, gi in enumerate(idxs):
+            b = int(best[r])
+            if b < 0:
+                continue
+            interval = []
+            idx = b
+            while idx != -1:
+                interval.append(idx)
+                idx = int(parents[r, idx])
+            interval.reverse()
+            if len(interval) < 3:
+                continue
+            qi = groups[gi][3]
+            qidx = [int(qi[t]) for t in interval]
+            first_q, last_q = qidx[-1], qidx[0]
+            nb_matches = len(interval)
+            if first_q > last_q:
+                diff_q = (first_q - last_q + 1) - nb_matches
+            else:
+                diff_q = (last_q - first_q + 1) - nb_matches
+            out[gi] = (nb_matches - diff_q,
+                       np.asarray(sorted(qidx), np.uint32))
+    return out
 
 
 def read_pairs(read):
@@ -173,6 +241,13 @@ def _score_from_positions(positions: np.ndarray) -> int:
 
 def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
                    accum):
+    use_device = _device_enabled()
+    if use_device:
+        try:
+            import jax  # noqa: F401
+        except Exception:
+            _DEVICE_STATE["on"] = False
+            use_device = False
     # build the sorted pair table over chunk reads
     tbl_pairs = []
     tbl_reads = []
@@ -232,19 +307,27 @@ def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
         a_rev = a_rev[order2]
         q_sel = q_sel[order2]
 
-        entries = []
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(t_read)) + 1, [t_read.shape[0]]])
+        groups = []
+        group_targets = []
         for s, e in zip(starts[:-1], starts[1:]):
             if e - s < 3:  # processAnchors minimum (ReadMapper.hpp:850)
                 continue
-            chained = chain_read_pair(a_ref_pos[s:e], a_q_pos[s:e],
-                                      a_rev[s:e], q_sel[s:e],
-                                      max_chaining_band)
+            groups.append((a_ref_pos[s:e], a_q_pos[s:e], a_rev[s:e],
+                           q_sel[s:e]))
+            group_targets.append(int(t_read[s]))
+        if use_device and groups:
+            chained_all = _chain_groups_device(groups, max_chaining_band)
+        else:
+            chained_all = [chain_read_pair(*g, max_chaining_band)
+                           for g in groups]
+        entries = []
+        for tgt, chained in zip(group_targets, chained_all):
             if chained is None:
                 continue
             score, positions = chained
-            entries.append((int(t_read[s]), score, positions))
+            entries.append((tgt, score, positions))
 
         selected = _select_union(packed.shape[0], entries, used_coverage)
         if not selected:
