@@ -85,10 +85,26 @@ def sort_rows_lex(rows: np.ndarray) -> np.ndarray:
     return np.lexsort(tuple(rows[:, j] for j in range(rows.shape[1] - 1, -1, -1)))
 
 
+_DEVICE_COUNT_MIN_ROWS = 1 << 16
+
+
 def count_unique_rows(rows: np.ndarray):
-    """Group identical rows: returns (unique_rows sorted lex, counts)."""
+    """Group identical rows: returns (unique_rows sorted lex, counts).
+
+    Large tables sort on device (kernels/count_jax.py, identical ordering);
+    small ones stay on host where the dispatch overhead would dominate.
+    Set METAMDBG_TPU_HOST_COUNT to force the host path.
+    """
     if rows.shape[0] == 0:
         return rows, np.zeros(0, np.uint32)
+    import os
+    if (rows.shape[0] >= _DEVICE_COUNT_MIN_ROWS
+            and not os.environ.get("METAMDBG_TPU_HOST_COUNT")):
+        try:
+            from ..kernels.count_jax import count_unique_rows_device
+            return count_unique_rows_device(np.ascontiguousarray(rows))
+        except ImportError:
+            pass
     order = sort_rows_lex(rows)
     s = rows[order]
     new_group = np.empty(s.shape[0], dtype=bool)

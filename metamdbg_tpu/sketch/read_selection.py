@@ -8,9 +8,11 @@ hash, apply complexity/quality filters, and write `read_data_init.txt`,
 runs, palindrome-purge into `read_data_corrected.txt`
 (ReadSelection.hpp:300-302,1374-1431).
 
-The per-read math lives in sketch/{rle,kmers,minimizers,filters,palindrome};
-the TPU batch path (kernels/sketch.py) computes the same quantities on padded
-batches and must agree exactly (tested in tests/test_sketch.py).
+The per-read math lives in sketch/{rle,kmers,minimizers,filters,palindrome}.
+The production path batches reads through the device sketch kernel
+(kernels/sketch.py via sketch/batch.py) — bit-identical to the host path
+(tests/test_sketch.py, tests/test_parity_readselection.py); the per-read
+host path remains as the parity oracle and import-failure fallback.
 """
 
 import os
@@ -27,6 +29,49 @@ from ..constants import (
 from ..io import fastq, records
 from ..utils.stats import compute_mean_length, compute_n50
 from . import filters, kmers, minimizers, palindrome, rle
+
+
+_CHUNK_READS = 512
+
+
+def _chunked(iterable, n: int):
+    chunk = []
+    for x in iterable:
+        chunk.append(x)
+        if len(chunk) == n:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
+def _make_sketcher(l: int, density: float, repetitive):
+    """Device batch sketcher, or None to fall back to the host path."""
+    if os.environ.get("METAMDBG_TPU_HOST_SKETCH"):
+        return None
+    from . import batch
+    if not batch.device_available():
+        return None
+    return batch.BatchSketcher(l, density, repetitive)
+
+
+def _sketch_chunk(sketcher, chunk, l, density, use_hpc, repetitive):
+    """Sketch a chunk of reads. Returns [(mins, pos, dirs, rle_pos)] in
+    chunk order. `pos` are k-mer indices in the RLE'd read."""
+    rles = [rle.rle_encode(read.seq, use_hpc) for read in chunk]
+    if sketcher is not None:
+        coded = [kmers.base_codes(seq_rle) for seq_rle, _ in rles]
+        sketched = sketcher.sketch_many([c for c, _ in coded],
+                                        [b for _, b in coded])
+        return [(mins, pos, dirs, rles[i][1])
+                for i, (mins, pos, dirs) in enumerate(sketched)]
+    out = []
+    for (seq_rle, rle_pos) in rles:
+        codes, bad = kmers.base_codes(seq_rle)
+        mins, pos, dirs = minimizers.select_minimizers(
+            codes, bad, l, density, repetitive)
+        out.append((mins, pos, dirs, rle_pos))
+    return out
 
 
 def determine_repetitive_minimizers(input_paths, out_path: str, l: int,
@@ -46,13 +91,15 @@ def determine_repetitive_minimizers(input_paths, out_path: str, l: int,
         return np.zeros(0, dtype=np.uint32)
 
     counts: dict[int, int] = {}
-    for read in fastq.iter_reads(input_paths, max_reads=REPETITIVE_MINIMIZER_MAX_READS):
-        seq_rle, _ = rle.rle_encode(read.seq, use_hpc)
-        codes, bad = kmers.base_codes(seq_rle)
-        mins, _, _ = minimizers.select_minimizers(codes, bad, l, density_correction)
-        vals, cnt = np.unique(mins, return_counts=True)
-        for v, c in zip(vals.tolist(), cnt.tolist()):
-            counts[v] = counts.get(v, 0) + c
+    sketcher = _make_sketcher(l, density_correction, None)
+    reads = fastq.iter_reads(input_paths,
+                             max_reads=REPETITIVE_MINIMIZER_MAX_READS)
+    for chunk in _chunked(reads, _CHUNK_READS):
+        for mins, _, _, _ in _sketch_chunk(sketcher, chunk, l,
+                                           density_correction, use_hpc, None):
+            vals, cnt = np.unique(mins, return_counts=True)
+            for v, c in zip(vals.tolist(), cnt.tolist()):
+                counts[v] = counts.get(v, 0) + c
 
     if not counts:
         open(out_path, "wb").close()
@@ -89,40 +136,42 @@ def run_read_selection(input_paths, out_dir: str, params: records.Parameters,
     nb_low_quality = 0
     nb_low_complexity = 0
 
+    sketcher = _make_sketcher(l, density, repetitive if repetitive.size
+                              else None)
     with records.ReadDataWriter(out_path, with_quality=True) as writer:
-        for read in fastq.iter_reads(input_paths):
-            seq_rle, rle_pos = rle.rle_encode(read.seq, use_hpc)
-            codes, bad = kmers.base_codes(seq_rle)
-            mins, pos, dirs = minimizers.select_minimizers(
-                codes, bad, l, density, repetitive)
+        for chunk in _chunked(fastq.iter_reads(input_paths), _CHUNK_READS):
+            sketched = _sketch_chunk(sketcher, chunk, l, density, use_hpc,
+                                     repetitive)
+            for read, (mins, pos, dirs, rle_pos) in zip(chunk, sketched):
+                mean_q = filters.mean_read_quality(read.qual)
+                complexity = filters.sequence_complexity(read.seq)
 
-            mean_q = filters.mean_read_quality(read.qual)
-            complexity = filters.sequence_complexity(read.seq)
+                if complexity > COMPLEXITY_MAX_SCORE:  # NaN -> False (keep)
+                    nb_low_complexity += 1
+                    mins = np.zeros(0, np.uint32)
+                    pos = np.zeros(0, np.uint32)
+                    dirs = np.zeros(0, np.uint8)
 
-            if complexity > COMPLEXITY_MAX_SCORE:  # NaN compares False (keep)
-                nb_low_complexity += 1
-                mins = np.zeros(0, np.uint32)
-                pos = np.zeros(0, np.uint32)
-                dirs = np.zeros(0, np.uint8)
+                if mean_q < min_read_quality:  # NaN compares False (keep)
+                    nb_low_quality += 1
+                    mins = np.zeros(0, np.uint32)
+                    pos = np.zeros(0, np.uint32)
+                    dirs = np.zeros(0, np.uint8)
+                else:
+                    quality_sum += np.longdouble(mean_q)
+                    quality_n += 1
 
-            if mean_q < min_read_quality:  # NaN compares False (keep)
-                nb_low_quality += 1
-                mins = np.zeros(0, np.uint32)
-                pos = np.zeros(0, np.uint32)
-                dirs = np.zeros(0, np.uint8)
-            else:
-                quality_sum += np.longdouble(mean_q)
-                quality_n += 1
+                quals = filters.minimizer_min_qualities(read.qual, rle_pos,
+                                                        pos, l)
 
-            quals = filters.minimizer_min_qualities(read.qual, rle_pos, pos, l)
+                writer.write(records.MinimizerRead(
+                    read.index, mins, pos, dirs, quals, mean_q,
+                    read.seq.shape[0]))
 
-            writer.write(records.MinimizerRead(
-                read.index, mins, pos, dirs, quals, mean_q, read.seq.shape[0]))
-
-            all_read_sizes.append(read.seq.shape[0])
-            nb_minimizers += mins.shape[0]
-            nb_kmers += read.seq.shape[0] - l + 1
-            nb_bases += read.seq.shape[0]
+                all_read_sizes.append(read.seq.shape[0])
+                nb_minimizers += mins.shape[0]
+                nb_kmers += read.seq.shape[0] - l + 1
+                nb_bases += read.seq.shape[0]
 
     sizes = np.asarray(all_read_sizes, dtype=np.uint32)
     stats = records.ReadStats(
