@@ -1,428 +1,189 @@
-"""Base-space contig reconstruction (round-1 path).
+"""Base-space reconstruction orchestrator, faithful to ToBasespace2::execute
+(src/toBasespace/ToBasespace2.hpp:332-526):
 
-Re-expresses ToBasespace2's read-tiling reconstruction
-(src/toBasespace/ToBasespace2.hpp:332-526,1665-2600) without the embedded
-minimap2/edlib/spoa machinery: reads are mapped to final minimizer-space
-contigs with the exact pair-chaining mapper, a best-score tiling path of
-reads is chosen per contig, and bases are spliced at shared minimizer
-anchors (minimizers are exact 15-mer matches between read and contig, so
-splices are seamless in minimizer space).
-
-Differences from the reference (round-1 scope, noted for the judge):
-- no minimap2-refined overlaps or POA polishing yet (Pallas alignment
-  kernels are the planned replacement); draft accuracy = read accuracy;
-- read overhangs beyond the contig's terminal minimizers are not included;
-- contig coverage = mean read-alignment depth over minimizer positions.
-
-Headers match Utils::createContigHeader (src/Commons.hpp:2212-2222):
-``ctg<i> length=<L> coverage=<%.2f> circular=<yes|no>``.
+1. align reads vs final minimizer-space contigs (contig_mapper, byte-parity
+   ReadVsContigMapper) -> readsVsContigsAlignments.bin;
+2. partition contigs + reads under the RAM model (partition.py,
+   ReadPartitionner) — reads stored contig-oriented;
+3. per partition: alignment-verified read tiling into draft contigs
+   (tiling.py, getPath/readPathsToContigs), then two windowed-POA polishing
+   passes (polisher.py, ContigPolisher.execute2);
+4. dereplicate (derep.py, ContigDerep @ identity 0.9) and trim
+   (ContigTrimmer) -> contigs.fasta.gz + contig_data_final.bin.
 """
 
+import logging
 import os
 import struct
 
 import numpy as np
 
-from ..constants import PRESET_HIFI
 from ..io import fastq, records
-from ..sketch import kmers, minimizers as mini, rle
-from . import postprocess
+from . import derep as derep_mod
+from . import partition as partition_mod
+from . import polisher as polisher_mod
+from . import tiling
+
+log = logging.getLogger("metamdbg_tpu")
 
 
-def _read_sketch(seq_bytes: np.ndarray, l: int, density: float, use_hpc: bool,
-                 repetitive=None):
-    """Returns (values, original-coordinate positions) for one read."""
-    seq_rle, rle_pos = rle.rle_encode(seq_bytes, use_hpc)
-    codes, bad = kmers.base_codes(seq_rle)
-    vals, pos, dirs = mini.select_minimizers(codes, bad, l, density, repetitive)
-    if use_hpc:
-        orig_pos = rle_pos[pos.astype(np.int64)]
-    else:
-        orig_pos = pos.astype(np.uint64)
-    return vals, orig_pos.astype(np.int64)
-
-
-REVCOMP = np.zeros(256, np.uint8)
-for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
-    REVCOMP[a] = b
-
-
-def _revcomp(seq: np.ndarray) -> np.ndarray:
-    return REVCOMP[seq[::-1]]
+def reconstruct_unpolished(minimizers, is_circular, alignments, read_seqs,
+                           avg_dist: float):
+    """Unpolished draft sequence of one minimizer-space contig/unitig via
+    verified read tiling (ToBasespaceGfa's role: raw sequences for GFA
+    S-lines, src/toBasespace/ToBasespaceGfa.hpp:280). alignments:
+    tiling.Mapping list; read_seqs: read_index -> forward-strand uint8."""
+    reads = {}
+    for al in alignments:
+        seq = read_seqs.get(al.read_index)
+        if seq is None:
+            continue
+        reads[al.read_index] = partition_mod.revcomp(seq) \
+            if al.is_reversed else seq
+    tiler = tiling.ContigTiler(reads, avg_dist, min_contig_length=1)
+    pieces, _ = tiling.create_base_contig(
+        tiler, np.asarray(minimizers, np.uint32), is_circular,
+        [al for al in alignments if al.read_index in reads])
+    if not pieces:
+        return None
+    return np.concatenate([p[0] for p in pieces])
 
 
 def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
                      params: records.Parameters, min_contig_length: int = 50,
                      min_contig_coverage: float = 1.0,
-                     repetitive: np.ndarray | None = None):
+                     repetitive: np.ndarray | None = None,
+                     n_threads: int | None = None):
     contig_file = os.path.join(out_dir, "contig_data_init_small.txt.norepeats")
-    aln_file = os.path.join(out_dir, "toBasespaceAlignments.bin")
+    aln_file = os.path.join(out_dir, "readsVsContigsAlignments.bin")
+    partition_dir = os.path.join(out_dir, "_polish_readPartitions")
+    os.makedirs(partition_dir, exist_ok=True)
+    avg_dist = float(1.0 / np.float32(params.density_assembly))
 
+    log.info("  Aligning reads vs contigs")
     from .contig_mapper import map_reads_to_contigs
-    map_reads_to_contigs(
+    raw_alignments = map_reads_to_contigs(
         os.path.join(out_dir, "read_data_init.txt"), contig_file, aln_file,
-        avg_minimizer_distance=1.0 / np.float32(params.density_assembly))
+        avg_minimizer_distance=avg_dist)
+    alignments = [tiling.Mapping(t) for t in raw_alignments]
 
-    contigs = list(records.read_read_data(contig_file, with_quality=False))
-    per_contig: dict = {i: [] for i in range(len(contigs))}
-    needed_reads = set()
-    for al in postprocess.read_alignments(aln_file):
-        (read_idx, contig_idx, r_start, r_end, c_start, c_end, is_rev,
-         score, _, _, read_len) = al
-        per_contig[contig_idx].append(al)
-        needed_reads.add(read_idx)
+    contigs = [(i, np.asarray(rec.minimizers, np.uint32), rec.is_circular)
+               for i, rec in enumerate(
+                   records.read_read_data(contig_file, with_quality=False))]
 
-    # load needed read sequences
-    read_seqs: dict = {}
-    for read in fastq.iter_reads(read_paths):
-        if read.index in needed_reads:
-            read_seqs[read.index] = read.seq
+    log.info("  Partitioning reads (%d contigs, %d alignments)",
+             len(contigs), len(alignments))
+    partitionner = partition_mod.Partitionner(contigs, alignments, avg_dist)
+    partition_mod.write_read_partitions(
+        partitionner, fastq.iter_reads(read_paths), partition_dir,
+        use_qual=True)
+    partition_mod.write_contig_partitions(partitionner, contigs,
+                                          partition_dir)
 
-    l = params.minimizer_size
-    density = params.density_assembly
-    use_hpc = params.use_homopolymer_compression
+    per_contig_alignments: dict = {}
+    for al in alignments:
+        per_contig_alignments.setdefault(al.contig_index, []).append(al)
 
-    from ..sketch import filters
-    from .polish import polish_contig
-    out_records = []
+    global_contig_index = 0
+    polished_contigs: dict = {}
+    polished_headers: dict = {}
+    polished_coverages: dict = {}
+    used_reads: dict = {}
+    used_read_sketches: dict = {}
     final_min = open(os.path.join(out_dir, "contig_data_final.bin"), "wb")
-    for ci, contig in enumerate(contigs):
-        alignments = sorted(per_contig[ci], key=lambda a: (a[4], -a[7]))
-        # contigCoverage (mean alignment depth over minimizer positions,
-        # ToBasespace2.hpp:1150-1169); coverage <= 1 contigs are dropped
-        # (ToBasespace2.hpp:1186)
-        nmin = contig.minimizers.shape[0]
-        depth = np.zeros(max(nmin, 1), np.int32)
-        for a in alignments:
-            depth[a[4]: min(a[5] + 1, nmin)] += 1
-        align_coverage = float(depth.mean())
-        if align_coverage <= 1:
-            continue
-        seq, _ = _reconstruct_contig(contig, alignments, read_seqs,
-                                     l, density, use_hpc, repetitive)
-        if seq is None or seq.shape[0] < min_contig_length:
-            continue
-        coverage = align_coverage
-        for round_i in range(2):  # round 2 re-anchors on the corrected draft
-            seq, win_cov = polish_contig(seq, alignments, read_seqs, l,
-                                         density, use_hpc, repetitive)
-            if win_cov > 0:
-                coverage = win_cov
-            if round_i == 0 and contig.is_circular:
-                seq = close_circular(seq, alignments, read_seqs, l, use_hpc,
-                                     repetitive)
-        if coverage < min_contig_coverage or seq.shape[0] < min_contig_length:
-            continue
-        # support bar: noisy-read consensus needs ~4x to reach useful
-        # accuracy; the reference enforces this organically through its
-        # minimap2-verified tiling paths + erroneous-read filter (getPath,
-        # ToBasespace2.hpp:1976-2220) — contigs below the bar never get a
-        # valid path there
-        if use_hpc:
-            min_support = min_contig_coverage
-        else:
-            min_support = max(min_contig_coverage, 5.0)
-        if coverage < min_support:
-            continue
-        # high-complexity low-coverage contigs are artifacts
-        # (ToBasespace2.hpp:2573)
-        if (coverage < 6 and seq.shape[0] < 50_000
-                and filters.sequence_complexity(seq) > 8):
-            continue
-        circ = "yes" if contig.is_circular else "no"
-        out_records.append([ci, seq, coverage, circ, contig])
+    used_read_file = fastq.open_maybe_gzip(
+        os.path.join(partition_dir, "usedReads.fasta.gz"), "wb")
 
-    out_records = dereplicate_contigs(out_records, l, density, use_hpc,
-                                      repetitive)
+    checksum_total = 0
+    for pi in range(partitionner.nb_partitions):
+        log.info("  Processing partition %d/%d", pi,
+                 partitionner.nb_partitions)
+        read_file = os.path.join(partition_dir, f"{pi}_reads.fastq.gz")
+        bin_file = os.path.join(partition_dir, f"{pi}_contigs.bin")
 
-    fasta_records = []
-    for (ci, seq, coverage, circ, contig) in out_records:
-        header = (f"ctg{ci} length={seq.shape[0]} "
-                  f"coverage={coverage:.2f} circular={circ}")
-        fasta_records.append((header, bytes(seq)))
-        final_min.write(struct.pack("<IB", contig.minimizers.shape[0],
-                                    1 if contig.is_circular else 0))
-        final_min.write(np.asarray(contig.minimizers, np.uint32).tobytes())
-    out_records = fasta_records
-    contig_index = len(out_records)
+        reads: dict = {}
+        quals: dict = {}
+        for read in fastq.iter_reads([read_file]):
+            idx = int(read.header.split()[0])
+            reads[idx] = read.seq
+            quals[idx] = read.qual if read.qual is not None and \
+                read.qual.size else None
+
+        tiler = tiling.ContigTiler(reads, avg_dist, min_contig_length)
+
+        # draft contigs via verified read tiling
+        partition_contigs: dict = {}
+        partition_headers: dict = {}
+        partition_reads: list = []
+        seen_reads = set()
+        for (cid, minimizers, is_circular) in \
+                partition_mod.read_contig_partition(bin_file):
+            als = [al for al in per_contig_alignments.get(cid, [])
+                   if al.read_index in reads]
+            pieces, coverage = tiling.create_base_contig(
+                tiler, minimizers, is_circular, als)
+            for (seq, circ, mins, read_path) in pieces:
+                ci = global_contig_index
+                global_contig_index += 1
+                partition_contigs[ci] = seq
+                partition_headers[ci] = (ci, circ)
+                checksum_total += int(
+                    (seq.astype(np.uint64) * seq.shape[0] * cid).sum()
+                    & 0xFFFFFFFFFFFFFFFF)
+                final_min.write(struct.pack("<IB", len(mins),
+                                            1 if circ else 0))
+                final_min.write(np.asarray(mins, np.uint32).tobytes())
+                for r in read_path:
+                    if r in seen_reads:
+                        continue
+                    seen_reads.add(r)
+                    used_reads[r] = reads[r]
+                    used_read_sketches[r] = tiler.sketch_of(r)
+                    used_read_file.write(b">read_%d\n" % r)
+                    used_read_file.write(reads[r].tobytes() + b"\n")
+
+        if not partition_contigs:
+            continue
+
+        for r in reads:
+            partition_reads.append((r, reads[r], quals[r]))
+
+        # two polishing passes (ContigPolisher::execute2)
+        sketches = dict(tiler._sketches)
+        c0, h0, cov0, _ = polisher_mod.polish_pass(
+            partition_contigs, partition_headers, partition_reads,
+            min_contig_length, min_contig_coverage, final_headers=False,
+            n_threads=n_threads, read_sketches=sketches)
+        c1, h1, cov1, _ = polisher_mod.polish_pass(
+            c0, h0, partition_reads, min_contig_length, min_contig_coverage,
+            final_headers=True, n_threads=n_threads, read_sketches=sketches)
+        for cid in c1:
+            polished_contigs[cid] = c1[cid]
+            polished_headers[cid] = h1[cid]
+            polished_coverages[cid] = cov1.get(cid, 0.0)
+
     final_min.close()
+    used_read_file.close()
+    log.info("  Checksum curated contigs: %d", checksum_total)
 
+    log.info("  Dereplicating contigs")
+    derep_contigs = derep_mod.dereplicate_contigs(
+        polished_contigs, polished_coverages, polished_headers,
+        min_contig_length)
+
+    log.info("  Trimming contigs")
+    trimmed = derep_mod.trim_contigs(derep_contigs, polished_headers,
+                                     used_reads, min_contig_length,
+                                     read_sketches=used_read_sketches)
+
+    out_records = []
+    for cid in sorted(trimmed):
+        seq = trimmed[cid]
+        orig_index, is_circular = polished_headers[cid]
+        coverage = polished_coverages.get(cid, 0.0)
+        circ = "yes" if is_circular else "no"
+        header = (f"ctg{orig_index} length={seq.shape[0]} "
+                  f"coverage={coverage:.2f} circular={circ}")
+        out_records.append((header, bytes(seq)))
     fastq.write_fasta(output_contig_file, out_records)
-    if os.path.exists(aln_file):
-        os.remove(aln_file)
-    return contig_index
-
-
-def dereplicate_contigs(out_records, l, density, use_hpc, repetitive,
-                        containment: float = 0.9,
-                        weak_containment: float = 0.45,
-                        dominance: float = 1.5):
-    """ContigDerep analog (src/toBasespace/ContigDerep.hpp:56, invoked at
-    ToBasespace2.hpp:3989-3993 with identity 0.9): drop contigs whose
-    sequence is contained in a kept contig.
-
-    Two rules over fine-density minimizer sets (fwd/rc covered by canonical
-    minimizers):
-    - strong: containment >= 0.9 (the reference's identity-0.9 containment);
-    - weak + dominance: containment >= 0.45 against a kept contig with
-      >= 1.5x the coverage — residual low-depth duplicates whose consensus
-      still carries errors (lower minimizer survival) are redundant copies
-      of well-covered sequence, the class the reference removes via its
-      erroneous-read path filters.
-    """
-    from .polish import FINE_DENSITY
-    order = sorted(range(len(out_records)),
-                   key=lambda i: -out_records[i][1].shape[0])
-    kept: list = []
-    kept_sets: list = []
-    for i in order:
-        seq = out_records[i][1]
-        cov = out_records[i][2]
-        vals, _ = _read_sketch(seq, l, FINE_DENSITY, use_hpc, repetitive)
-        vset = set(vals.tolist())
-        contained = False
-        if vset:
-            for (bigset, bigcov) in kept_sets:
-                inter = len(vset & bigset)
-                frac = inter / len(vset)
-                if frac >= containment:
-                    contained = True
-                    break
-                if frac >= weak_containment and bigcov >= dominance * cov:
-                    contained = True
-                    break
-        if contained:
-            continue
-        kept.append(i)
-        kept_sets.append((vset, cov))
-    kept.sort()
-    return [out_records[i] for i in kept]
-
-
-def _reconstruct_contig(contig, alignments, read_seqs, l, density, use_hpc,
-                        repetitive):
-    m = np.asarray(contig.minimizers, np.uint32)
-    n = m.shape[0]
-    if n == 0 or not alignments:
-        return None, 0.0
-
-    # depth coverage over minimizer positions
-    depth = np.zeros(n, np.int32)
-    for a in alignments:
-        depth[a[4]: min(a[5] + 1, n)] += 1
-    coverage = float(depth.mean()) if n else 0.0
-
-    # junction-verified tiling (role of getPath + getBestSuccessor,
-    # ToBasespace2.hpp:1976-2390): extend the read path one read at a time,
-    # requiring every junction to be a contig minimizer anchored UNIQUELY in
-    # both reads — a duplicated or absent anchor would silently delete or
-    # duplicate the spanned sequence. Candidates are tried by furthest
-    # contig extension; when no verified successor exists the path breaks.
-    anchor_cache: dict = {}
-
-    def anchors_of(a):
-        key = (a[0], a[6])
-        hit = anchor_cache.get(key)
-        if hit is not None:
-            return hit
-        seq = read_seqs.get(a[0])
-        if seq is None:
-            anchor_cache[key] = None
-            return None
-        if a[6]:
-            seq = _revcomp(seq)
-        vals, pos = _read_sketch(seq, l, density, use_hpc, repetitive)
-        val_to_pos: dict = {}
-        for v, p in zip(vals.tolist(), pos.tolist()):
-            val_to_pos.setdefault(v, []).append(p)
-        anchor_cache[key] = (seq, val_to_pos)
-        return anchor_cache[key]
-
-    def shared_junction(cur_map, nxt_map, lo, hi):
-        for j in range(hi, lo - 1, -1):
-            v = int(m[j])
-            cp = cur_map.get(v)
-            np_ = nxt_map.get(v)
-            if cp is not None and np_ is not None \
-                    and len(cp) == 1 and len(np_) == 1:
-                return j
-        return None
-
-    alns = sorted(alignments, key=lambda a: (a[4], -(a[5])))
-    # start: best score among the leftmost alignments (getPath start rule)
-    min_start = alns[0][4]
-    start = max((a for a in alns if a[4] == min_start), key=lambda a: a[7])
-
-    pieces = []
-    cur = start
-    cur_data = anchors_of(cur)
-    cur_pos = None
-    while True:
-        if cur_data is None:
-            break
-        seq, vmap = cur_data
-        c_start, c_end = cur[4], min(cur[5] + 1, n - 1)
-        if cur_pos is None:
-            first = next((j for j in range(c_start, c_end + 1)
-                          if len(vmap.get(int(m[j]), ())) == 1), None)
-            if first is None:
-                break
-            cur_pos = vmap[int(m[first])][0]
-
-        # candidate successors: overlap cur, extend furthest first
-        cands = [a for a in alns
-                 if a[5] > cur[5] and a[4] < c_end]
-        cands.sort(key=lambda a: (-(a[5]), a[4], a[0]))
-        advanced = False
-        for cand in cands:
-            nd = anchors_of(cand)
-            if nd is None:
-                continue
-            lo = max(c_start, cand[4])
-            hi = min(c_end, min(cand[5] + 1, n - 1))
-            if hi < lo:
-                continue
-            junction = shared_junction(vmap, nd[1], lo, hi)
-            if junction is None:
-                continue
-            p_end = vmap[int(m[junction])][0]
-            if p_end > cur_pos:
-                pieces.append(seq[cur_pos:p_end])
-            cur = cand
-            cur_data = nd
-            cur_pos = nd[1][int(m[junction])][0]
-            advanced = True
-            break
-        if advanced:
-            continue
-
-        # no verified successor: finish the current read and either stop or
-        # restart past the break (unavoidable coverage gap)
-        if contig.is_circular and cur[5] >= n - 2:
-            # circular junction: keep the read's tail past the final anchor
-            # so the wrap overlap can be closed/trimmed precisely
-            # (readPathsToContigs circular margin, ToBasespace2.hpp:2506-2522
-            # + ContigTrimmer)
-            pieces.append(seq[cur_pos:])
-            break
-        last = next((j for j in range(c_end, c_start - 1, -1)
-                     if len(vmap.get(int(m[j]), ())) == 1), None)
-        if last is not None:
-            p_end = vmap[int(m[last])][0]
-            if p_end > cur_pos:
-                pieces.append(seq[cur_pos:p_end])
-        nxt = next((a for a in alns if a[4] > cur[5]), None)
-        if nxt is None:
-            break
-        cur = nxt
-        cur_data = anchors_of(cur)
-        cur_pos = None
-
-    if not pieces:
-        return None, coverage
-    out = np.concatenate(pieces)
-    if contig.is_circular:
-        out = trim_circular_overlap(out, l, density, use_hpc, repetitive)
-    return out, coverage
-
-
-def close_circular(seq: np.ndarray, alignments, read_seqs, l, use_hpc,
-                   repetitive, window: int = 4000):
-    """Close a circular contig's junction with a read that spans contig end
-    -> contig start (the reference reaches the same closure through its
-    circular tiling margin + ContigTrimmer, ToBasespace2.hpp:2506-2522).
-
-    Returns the closed sequence (core + read bridge) or the input unchanged.
-    """
-    from .polish import FINE_DENSITY
-    n = seq.shape[0]
-    if n < 2 * window:
-        return seq
-    head = seq[:window]
-    tail = seq[n - window:]
-
-    def unique_map(vals, pos):
-        occur: dict = {}
-        for v, p in zip(vals.tolist(), pos.tolist()):
-            occur.setdefault(v, []).append(p)
-        return {v: ps[0] for v, ps in occur.items() if len(ps) == 1}
-
-    hv, hp = _read_sketch(head, l, FINE_DENSITY, use_hpc, repetitive)
-    tv, tp = _read_sketch(tail, l, FINE_DENSITY, use_hpc, repetitive)
-    hmap = unique_map(hv, hp)
-    tmap = unique_map(tv, tp)
-
-    best = None
-    for a in alignments:
-        seq_r = read_seqs.get(a[0])
-        if seq_r is None:
-            continue
-        for oriented in ((_revcomp(seq_r),) if a[6] else (seq_r,)):
-            rv, rp = _read_sketch(oriented, l, FINE_DENSITY, use_hpc,
-                                  repetitive)
-            rmap = unique_map(rv, rp)
-            t_hits = sorted((rmap[v], q) for v, q in tmap.items()
-                            if v in rmap)
-            h_hits = sorted((rmap[v], q) for v, q in hmap.items()
-                            if v in rmap)
-            if len(t_hits) < 3 or len(h_hits) < 3:
-                continue
-            # consistent offsets within each side
-            t_off = np.asarray([p - q for p, q in t_hits], np.int64)
-            h_off = np.asarray([p - q for p, q in h_hits], np.int64)
-            t_med = np.median(t_off)
-            h_med = np.median(h_off)
-            t_ok = [x for x, d in zip(t_hits, t_off.tolist())
-                    if abs(d - t_med) <= 16]
-            h_ok = [x for x, d in zip(h_hits, h_off.tolist())
-                    if abs(d - h_med) <= 16]
-            if len(t_ok) < 3 or len(h_ok) < 3:
-                continue
-            p_t, q_t = t_ok[-1]       # last anchored read pos on the tail
-            p_h, q_h = h_ok[0]        # first anchored read pos on the head
-            if p_h <= p_t:
-                continue              # read does not run tail -> head
-            score = min(len(t_ok), len(h_ok))
-            if best is None or score > best[0]:
-                best = (score, q_h, n - window + q_t,
-                        oriented[p_t:p_h])
-    if best is None:
-        return seq
-    _, cut_head, cut_tail, bridge = best
-    return np.concatenate([seq[cut_head:cut_tail], bridge])
-
-
-def trim_circular_overlap(seq: np.ndarray, l, density, use_hpc, repetitive,
-                          window: int = 4000):
-    """ContigTrimmer analog (src/toBasespace/ContigTrimmer.hpp:59): a
-    circular contig's suffix that repeats its prefix is trimmed so the
-    sequence is exactly one period.
-
-    Anchors: fine-density minimizers shared between the first and last
-    `window` bp with a consistent offset (>= 3 votes)."""
-    from .polish import FINE_DENSITY
-    n = seq.shape[0]
-    if n < 2 * l:
-        return seq
-    w = min(window, n // 2)
-    head = seq[:w]
-    tail = seq[n - w:]
-    hv, hp = _read_sketch(head, l, FINE_DENSITY, use_hpc, repetitive)
-    tv, tp = _read_sketch(tail, l, FINE_DENSITY, use_hpc, repetitive)
-    hmap: dict = {}
-    for v, p in zip(hv.tolist(), hp.tolist()):
-        hmap.setdefault(v, []).append(p)
-    hmap = {v: ps[0] for v, ps in hmap.items() if len(ps) == 1}
-    offsets = []
-    for v, p in zip(tv.tolist(), tp.tolist()):
-        hpos = hmap.get(v)
-        if hpos is not None:
-            offsets.append((n - w + p) - hpos)
-    if len(offsets) < 3:
-        return seq
-    offsets = np.asarray(offsets, np.int64)
-    period = int(np.median(offsets))
-    votes = int(np.sum(np.abs(offsets - period) <= 16))
-    if votes < 3 or period <= 0 or period >= n:
-        return seq
-    return seq[:period]
+    return len(out_records)

@@ -69,6 +69,12 @@ def iter_reads(paths, max_reads: int | None = None):
                     line = f.readline()
 
 
+def open_maybe_gzip(path: str, mode: str = "rb"):
+    if path.endswith(".gz"):
+        return gzip.open(path, mode, compresslevel=1)
+    return open(path, mode)
+
+
 def write_fasta(path: str, records, gzipped: bool | None = None):
     """records: iterable of (header, sequence-str-or-bytes)."""
     if gzipped is None:

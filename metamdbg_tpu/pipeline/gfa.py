@@ -25,8 +25,7 @@ def available_ks(tmp_dir: str) -> list:
 
 def run_gfa(out_dir: str, k: int, output_path: str | None = None):
     from ..io import records
-    from ..io.records import load_repetitive_minimizers
-    from ..basespace import chaining, postprocess, reconstruct
+    from ..basespace import postprocess, reconstruct, tiling
 
     tmp_dir = os.path.join(out_dir, "tmp")
     ks = available_ks(tmp_dir)
@@ -60,7 +59,7 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None):
     per_unitig: dict = {i: [] for i in range(len(unitig_records))}
     needed = set()
     for al in postprocess.read_alignments(aln_file):
-        per_unitig[al[1]].append(al)
+        per_unitig[al[1]].append(tiling.Mapping(al))
         needed.add(al[0])
 
     from ..io import fastq
@@ -69,15 +68,12 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None):
         if read.index in needed:
             read_seqs[read.index] = read.seq
 
-    repetitive = np.sort(load_repetitive_minimizers(
-        os.path.join(tmp_dir, "repetitiveMinimizers.bin")))
+    avg_dist = float(1.0 / np.float32(params.density_assembly))
     sequences = {}
     for i, rec in enumerate(unitig_records):
-        seq, _ = reconstruct._reconstruct_contig(
-            rec, per_unitig[i], read_seqs, params.minimizer_size,
-            params.density_assembly, params.use_homopolymer_compression,
-            repetitive if repetitive.size else None)
-        sequences[i] = seq
+        sequences[i] = reconstruct.reconstruct_unpolished(
+            rec.minimizers, rec.is_circular, per_unitig[i], read_seqs,
+            avg_dist)
     os.remove(aln_file)
 
     if output_path is None:

@@ -27,10 +27,37 @@ def _revcomp(seq: np.ndarray) -> np.ndarray:
     return comp[seq[::-1]]
 
 
+def mutate(seq: np.ndarray, rng, sub_rate: float, ins_rate: float = 0.0,
+           del_rate: float = 0.0) -> np.ndarray:
+    """Applies substitutions + single-base indels (ONT-like error mix)."""
+    if sub_rate > 0:
+        length = seq.shape[0]
+        nerr = rng.binomial(length, sub_rate)
+        if nerr:
+            pos = rng.integers(0, length, size=nerr)
+            seq[pos] = BASES[(np.searchsorted(BASES, seq[pos])
+                              + rng.integers(1, 4, size=nerr)) % 4]
+    if ins_rate > 0 or del_rate > 0:
+        r = rng.random(seq.shape[0])
+        keep = r >= del_rate
+        ins = r < del_rate + ins_rate
+        ins &= keep
+        parts = []
+        out = seq[keep]
+        ins_pos = np.flatnonzero(ins[keep]) if keep.any() else np.zeros(0, int)
+        if ins_pos.size:
+            ins_bases = BASES[rng.integers(0, 4, size=ins_pos.size)]
+            out = np.insert(out, ins_pos, ins_bases)
+        seq = out
+    return seq
+
+
 def sample_reads(genome: np.ndarray, coverage: float, mean_length: int,
                  error_rate: float = 0.0, seed: int = 1, circular: bool = True,
-                 mean_quality: int = 30):
-    """Yields (header, seq_bytes, qual_bytes) tuples."""
+                 mean_quality: int = 30, ins_rate: float = 0.0,
+                 del_rate: float = 0.0):
+    """Yields (header, seq_bytes, qual_bytes) tuples. `error_rate` is the
+    substitution rate; ins/del rates add ONT-like single-base indels."""
     rng = np.random.default_rng(seed)
     g = genome
     n = g.shape[0]
@@ -46,15 +73,11 @@ def sample_reads(genome: np.ndarray, coverage: float, mean_length: int,
         else:
             length = min(length, n - start)
             seq = g[start:start + length]
-        seq = seq.copy()
-        if error_rate > 0:
-            nerr = rng.binomial(length, error_rate)
-            if nerr:
-                pos = rng.integers(0, length, size=nerr)
-                seq[pos] = BASES[(np.searchsorted(BASES, seq[pos]) + rng.integers(1, 4, size=nerr)) % 4]
+        seq = mutate(seq.copy(), rng, error_rate, ins_rate, del_rate)
         if rng.random() < 0.5:
             seq = _revcomp(seq)
-        qual = np.clip(rng.normal(mean_quality, 3, size=length), 3, 60).astype(np.uint8) + 33
+        qual = np.clip(rng.normal(mean_quality, 3, size=seq.shape[0]), 3,
+                       60).astype(np.uint8) + 33
         yield f"read_{read_id}", seq, qual
         emitted += length
         read_id += 1

@@ -1,0 +1,167 @@
+"""Unit tests for the rebuilt base-space subsystem: native POA engine,
+anchor-overlap engine, tiling validity rules, and the polisher's window
+machinery."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import datagen
+from metamdbg_tpu.basespace import overlap, poa_native, polisher, tiling
+
+
+def _noisy(rng, seq, sub=0.0, ins=0.0, dele=0.0):
+    return datagen.mutate(seq.copy(), rng, sub, ins, dele)
+
+
+# -- native POA ----------------------------------------------------------------
+
+def test_poa_consensus_corrects_all_error_types():
+    rng = np.random.default_rng(0)
+    backbone = datagen.random_genome(500, seed=3).tobytes()
+    truth = backbone
+    # noisy backbone, clean-ish fragments: consensus must recover truth
+    frags = []
+    for i in range(10):
+        f = _noisy(rng, np.frombuffer(truth, np.uint8), 0.01, 0.005, 0.005)
+        frags.append((f.tobytes(), None, 0, 499))
+    noisy_bb = _noisy(rng, np.frombuffer(truth, np.uint8),
+                      0.02, 0.01, 0.01).tobytes()
+    (cons, cov), = poa_native.polish_windows([(noisy_bb, frags)], n_threads=1)
+    trimmed = polisher.trim_consensus(cons, cov, len(frags),
+                                      is_last_window=False)
+    assert trimmed in truth
+    assert len(trimmed) >= 490
+
+
+def test_poa_quality_weighting():
+    bb = b"ACGTACGTTTGACCA"
+    low = (b"ACGTACTTTTGACCA", b"#" * 15)   # qual 2
+    high = (b"ACGTACGTTTGACCA", b"I" * 15)  # qual 40
+    (cons, _), = poa_native.polish_windows(
+        [(bb, [(low[0], low[1], 0, 14), (low[0], low[1], 0, 14),
+               (high[0], high[1], 0, 14)])], n_threads=1)
+    # one high-quality vote (40) outweighs two low-quality votes (2+2)
+    assert cons == b"ACGTACGTTTGACCA"
+
+
+def test_poa_subgraph_partial_fragment():
+    bb = datagen.random_genome(500, seed=7).tobytes()
+    mut = bytearray(bb)
+    mut[100] = ord("A") if mut[100] != ord("A") else ord("C")
+    frags = [(bytes(mut[50:300]), None, 50, 299) for _ in range(5)]
+    (cons, _), = poa_native.polish_windows([(bb, frags)], n_threads=1)
+    assert cons[100:101] == bytes(mut[100:101])
+    assert len(cons) >= 240  # coverage region survives
+
+
+# -- overlap engine ------------------------------------------------------------
+
+def test_overlap_pair_bounds_and_identity():
+    rng = np.random.default_rng(5)
+    g = datagen.random_genome(30000, seed=5)
+    r1 = _noisy(rng, g[:12000], 0.01, 0.005, 0.005)
+    r2 = _noisy(rng, g[8000:20000], 0.01, 0.005, 0.005)
+    b = overlap.overlap_pair(overlap.sketch(r1), r1.shape[0],
+                             overlap.sketch(r2), r2.shape[0])[0]
+    assert not b.is_reversed
+    assert abs(b.ref_start - 8000) < 150 and b.ref_end > 11800
+    assert b.query_start < 150 and abs(b.query_end - 4000) < 200
+    assert 0.90 < b.identity <= 1.0
+
+
+def test_overlap_junction_anchor_exact():
+    """The chain's terminal anchor is an exact 15-mer on both sequences —
+    the seam the stitcher cuts at."""
+    rng = np.random.default_rng(6)
+    g = datagen.random_genome(20000, seed=6)
+    r1 = _noisy(rng, g[:12000], 0.01)
+    r2 = _noisy(rng, g[7000:], 0.01)
+    b = overlap.overlap_pair(overlap.sketch(r1), r1.shape[0],
+                             overlap.sketch(r2), r2.shape[0])[0]
+    assert bytes(r1[b.ref_end - 15:b.ref_end]) == \
+        bytes(r2[b.query_end - 15:b.query_end])
+
+
+def test_is_valid_overlap_alignment_rules():
+    def bounds(qs, qe, rs, re, ql, rl, rev=False):
+        return overlap.Bounds(qs, qe, rs, re, ql, rl, rev, 1000, 0.99)
+    # proper dovetail: read1 suffix overlaps read2 prefix
+    assert tiling.is_valid_overlap_alignment(
+        bounds(10, 4000, 6000, 9990, 10000, 10000), True)
+    # reversed rejected
+    assert not tiling.is_valid_overlap_alignment(
+        bounds(10, 4000, 6000, 9990, 10000, 10000, rev=True), True)
+    # contained query rejected
+    assert not tiling.is_valid_overlap_alignment(
+        bounds(50, 3950, 5000, 9000, 4000, 10000), True)
+    # huge hang rejected with maxhang check, accepted without
+    b = bounds(600, 4000, 6000, 9400, 10000, 10000)
+    assert not tiling.is_valid_overlap_alignment(b, True)
+    assert tiling.is_valid_overlap_alignment(b, False)
+    # short overlap rejected
+    assert not tiling.is_valid_overlap_alignment(
+        bounds(10, 300, 9700, 9990, 10000, 10000), True)
+
+
+def test_subsample_mapped_reads_caps_depth():
+    als = [tiling.Mapping((i, 0, 0, 100, 10, 90, 0, 50 + i, 0, 100, 100))
+           for i in range(40)]
+    als.sort(key=lambda a: (a.contig_start, a.contig_end, a.read_index))
+    selected = tiling.subsample_mapped_reads(0, als, 10)
+    assert 10 <= len(selected) <= 12
+
+
+def test_chimeric_detection():
+    cov = np.ones(1000, np.int64) * 20
+    cov[400:700] = 0
+    cov_map = np.ones(1000, np.int64)
+    assert tiling.is_chimeric(cov, cov_map, 30.0, 10)
+    assert not tiling.is_chimeric(np.ones(1000, np.int64) * 20, cov_map,
+                                  30.0, 10)
+
+
+# -- polisher window machinery -------------------------------------------------
+
+def test_find_breaking_points_exact_boundaries():
+    g = datagen.random_genome(2000, seed=9)
+    read = g[200:1700].copy()
+    s = overlap.sketch(read)
+    idx = overlap.SeqIndex()
+    idx.add(0, g)
+    idx.build()
+    b = overlap.map_sketched(idx, *s, read.shape[0], min_span=500)[0]
+    al = polisher.Alignment(0, 7, b.query_start, b.query_end, b.ref_start,
+                            b.ref_end, 1.0, read.shape[0], g.shape[0],
+                            b.anchors)
+    frags = list(polisher.find_breaking_points(al, read, None, g))
+    assert frags
+    for (wid, ps, pe, frag, _) in frags[1:-1]:
+        # interior fragments span their whole window exactly
+        assert ps == 0 and pe == 499
+        assert frag == g[wid * 500:(wid + 1) * 500].tobytes()
+
+
+def test_index_window_eviction():
+    full = datagen.random_genome(500, seed=1).tobytes()
+    short = full[:300]
+    windows = []
+    for i in range(polisher.MAX_WINDOW_COPIES - 1):
+        windows.append(polisher.Window(full, None, 0, 499, 0.95))
+    polisher.index_window(windows, polisher.Window(short, None, 0, 299, 0.99))
+    assert len(windows) == polisher.MAX_WINDOW_COPIES - 1
+    # a full-length window evicts the incomplete one
+    polisher.index_window(windows, polisher.Window(full, None, 0, 499, 0.97))
+    assert all(len(w.seq) == 500 for w in windows)
+
+
+def test_trim_consensus_keeps_covered_core():
+    seq = b"A" * 500
+    cov = np.full(500, 20, np.uint32)
+    cov[:5] = 1
+    cov[-3:] = 1
+    out = polisher.trim_consensus(seq, cov, 20, is_last_window=False)
+    assert out == b"A" * 492

@@ -40,18 +40,38 @@ def test_asm_single_circular_genome(tmp_path):
     headers, seqs = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
     assert len(seqs) == 1
     assert "circular=yes" in headers[0]
-    # full-length recovery (within minimizer-anchor resolution)
+    # full-length recovery (within the circular-trim margin)
     assert abs(len(seqs[0]) - genome.shape[0]) < 2000
 
-    # polished accuracy: sampled exact 101-mers nearly all present
+    # polished accuracy: the contig is an EXACT substring of the (doubled,
+    # for rotation) genome — error-free assembly
     g = genome.tobytes().decode()
     gg = g + g
     contig = seqs[0]
     rc = contig.translate(str.maketrans("ACGT", "TGCA"))[::-1]
-    samples = range(0, len(contig) - 101, 500)
-    hits = sum(1 for i in samples
-               if contig[i:i + 101] in gg or rc[i:i + 101] in gg)
-    assert hits / len(samples) > 0.95
+    assert contig in gg or rc in gg
+
+
+def test_asm_ont_single_circular_genome(tmp_path):
+    """ONT path end-to-end (correction + tiling + POA polish): error-free
+    contig from 1.2%-error reads with indels."""
+    fq = str(tmp_path / "reads.fastq.gz")
+    genome = datagen.random_genome(70_000, seed=31)
+    datagen.write_fastq(fq, datagen.sample_reads(
+        genome, coverage=35, mean_length=8000, error_rate=0.005,
+        ins_rate=0.0035, del_rate=0.0035, seed=32, mean_quality=22))
+    out = str(tmp_path / "out")
+    main(["asm", "--out-dir", out, "--in-ont", fq])
+
+    headers, seqs = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
+    assert len(seqs) == 1
+    assert "circular=yes" in headers[0]
+    assert abs(len(seqs[0]) - genome.shape[0]) < 2000
+    g = genome.tobytes().decode()
+    gg = g + g
+    contig = seqs[0]
+    rc = contig.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    assert contig in gg or rc in gg
 
 
 def test_asm_resume_from_checkpoints(tmp_path):
