@@ -75,8 +75,9 @@ class ContigTiler:
                 bads.append(b)
             for r, (vals, pos, dirs) in zip(todo, sk.sketch_many(codes, bads)):
                 self._sketches[r] = (vals, pos.astype(np.int64), dirs)
-        except Exception:  # backend unavailable -> lazy host sketching
-            pass
+        except Exception as exc:  # backend unavailable -> lazy host path
+            from ..utils.devpolicy import device_fallback
+            device_fallback("tiling batch sketching", exc)
 
     # -- read-vs-read overlaps (computeAlignment role) ----------------------
     def pair_alignments(self, r1: int, r2: int):

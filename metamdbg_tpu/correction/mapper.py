@@ -245,7 +245,9 @@ def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
     if use_device:
         try:
             import jax  # noqa: F401
-        except Exception:
+        except Exception as exc:
+            from ..utils.devpolicy import device_fallback
+            device_fallback("correction chain DP", exc)
             _DEVICE_STATE["on"] = False
             use_device = False
     # build the sorted pair table over chunk reads

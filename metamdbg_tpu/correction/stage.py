@@ -16,6 +16,7 @@ Determinism notes:
 """
 
 import dataclasses
+import logging
 import os
 
 import numpy as np
@@ -28,6 +29,8 @@ from ..sketch import rle as _rle
 from ..sketch.palindrome import purge_palindrome
 from ..utils.hashing import minimizer_is_selected
 from . import chainer, mapper, poa
+
+log = logging.getLogger("metamdbg_tpu")
 
 MAX_MEMORY_BASE_GB = 8.0            # ReadCorrection.hpp:1789
 MEMORY_PER_MINIMIZER = 15           # ReadCorrection.hpp:1822 (8+4+1+1+1)
@@ -180,6 +183,9 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
                                              min_overlap_length, band)
                     checksum = _write_read(writer, read.index, corrected,
                                            params, checksum)
+    # determinism oracle: the reference logs the same per-stage checksum
+    # (SURVEY §4.2; src/readSelection/ReadCorrection.hpp:1982-1986 area)
+    log.info("Correction checksum: %d", checksum)
     return checksum
 
 

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..count.kminmers import normalize_rows
 from ..io import records
-from ..utils.hashing import murmur128_u32rows
+from ..utils.hashing import murmur128_u32row_scalar, murmur128_u32rows
 from . import gio
 from .filter_graph import FilterGraph, FilterNode, rc
 
@@ -36,9 +36,9 @@ F32 = np.float32
 
 
 def _hash_norm(seq: np.ndarray) -> tuple:
-    norm, _ = normalize_rows(np.asarray(seq, np.uint32)[None, :])
-    h1, h2 = murmur128_u32rows(norm)
-    return (int(h1[0]), int(h2[0]))
+    vals = np.asarray(seq, np.uint32).tolist()
+    rev = vals[::-1]
+    return murmur128_u32row_scalar(rev if rev <= vals else vals)
 
 
 def _window_hashes(seq: np.ndarray, w: int) -> list:
@@ -49,6 +49,48 @@ def _window_hashes(seq: np.ndarray, w: int) -> list:
     norm, _ = normalize_rows(wins)
     h1, h2 = murmur128_u32rows(norm)
     return list(zip(h1.tolist(), h2.tolist()))
+
+
+# batch budget: windows are (n, w) u32; cap the concatenated element count
+_BATCH_ELEMS = 8 << 20
+
+
+def _batch_window_hashes(seqs, w: int) -> list:
+    """_window_hashes over MANY sequences with one vectorized normalize +
+    murmur per chunk (the per-read variant spent its time in call overhead:
+    ~300k tiny murmur batches per multi-k ladder)."""
+    out = [None] * len(seqs)
+    chunk: list = []
+    chunk_idx: list = []
+    chunk_elems = 0
+
+    def flush():
+        nonlocal chunk, chunk_idx, chunk_elems
+        if not chunk:
+            return
+        cat = np.concatenate(chunk)
+        norm, _ = normalize_rows(cat)
+        h1, h2 = murmur128_u32rows(norm)
+        pairs = list(zip(h1.tolist(), h2.tolist()))
+        pos = 0
+        for i, nwin in chunk_idx:
+            out[i] = pairs[pos:pos + nwin]
+            pos += nwin
+        chunk, chunk_idx, chunk_elems = [], [], 0
+
+    for i, seq in enumerate(seqs):
+        s = np.asarray(seq, np.uint32)
+        if s.shape[0] < w:
+            out[i] = []
+            continue
+        wins = np.lib.stride_tricks.sliding_window_view(s, w)
+        chunk.append(wins)
+        chunk_idx.append((i, wins.shape[0]))
+        chunk_elems += wins.size
+        if chunk_elems >= _BATCH_ELEMS:
+            flush()
+    flush()
+    return out
 
 
 class MultiplexPass:
@@ -86,13 +128,14 @@ class MultiplexPass:
                                "unitigGraph.nodes.refined_abundances.bin"), "rb") as f:
             for name, ab in struct.iter_unpack("<II", f.read()):
                 refined[name] = ab
-        for seq, idx in gio.read_unitig_nodes(
-                os.path.join(self.out_dir, "unitigGraph_prev.nodes.bin")):
-            name = idx // 2
-            if name not in refined:
-                continue
+        nodes = [(seq, idx // 2) for seq, idx in gio.read_unitig_nodes(
+            os.path.join(self.out_dir, "unitigGraph_prev.nodes.bin"))
+            if idx // 2 in refined]
+        all_hashes = _batch_window_hashes([seq for seq, _ in nodes],
+                                          self.k_prev)
+        for (seq, name), hashes in zip(nodes, all_hashes):
             ab = refined[name]
-            for key in _window_hashes(seq, self.k_prev):
+            for key in hashes:
                 if ab == 1:
                     if key in table:
                         table[key] = 0
@@ -109,9 +152,8 @@ class MultiplexPass:
         small_file = open(small_path, "wb")
 
         def process(minimizers: np.ndarray, is_circular: int,
-                    extracting_contigs: bool):
-            prev_ab = [prev_index.get(key, 1)
-                       for key in _window_hashes(minimizers, self.k_prev)]
+                    extracting_contigs: bool, hashes_prev, hashes_k):
+            prev_ab = [prev_index.get(key, 1) for key in hashes_prev]
             n_kminmers = max(0, minimizers.shape[0] - self.k + 1)
             if (extracting_contigs and self.k > 8 and n_kminmers <= 0
                     and prev_ab):
@@ -123,8 +165,7 @@ class MultiplexPass:
                 return
             if n_kminmers <= 0:
                 return
-            hashes = _window_hashes(minimizers, self.k)
-            for i, key in enumerate(hashes):
+            for i, key in enumerate(hashes_k):
                 if len(prev_ab) <= 1:
                     ab = prev_ab[0]
                 else:
@@ -134,12 +175,19 @@ class MultiplexPass:
                 if key not in self.kminmers:   # first occurrence wins
                     self.kminmers[key] = ab
 
+        items = []
         for r in records.read_read_data(
                 os.path.join(self.out_dir, "read_data_corrected.txt"), False):
-            process(r.minimizers, 0 if not r.is_circular else 1, False)
+            items.append((r.minimizers, 0 if not r.is_circular else 1, False))
         for r in records.read_read_data(
                 os.path.join(self.out_dir, "unitig_data.txt"), False):
-            process(r.minimizers, 1 if r.is_circular else 0, True)
+            items.append((r.minimizers, 1 if r.is_circular else 0, True))
+        seqs = [m for m, _, _ in items]
+        hashes_prev_all = _batch_window_hashes(seqs, self.k_prev)
+        hashes_k_all = _batch_window_hashes(seqs, self.k)
+        for (m, circ, extr), hp, hk in zip(items, hashes_prev_all,
+                                           hashes_k_all):
+            process(m, circ, extr, hp, hk)
         small_file.close()
 
         # dump abundances (set semantics; reference iterates its hash map)
@@ -260,12 +308,12 @@ class MultiplexPass:
 
     def _remove_unsupported(self):
         g = self.graph
+        nodes = [n for n in g.unitigs if n is not None]
+        all_hashes = _batch_window_hashes(
+            [self.sequences[n.name] for n in nodes], self.k)
         to_remove = []
-        for node in g.unitigs:
-            if node is None:
-                continue
-            seq = self.sequences[node.name]
-            for key in _window_hashes(seq, self.k):
+        for node, hashes in zip(nodes, all_hashes):
+            for key in hashes:
                 if key not in self.kminmers:
                     to_remove.append(node)
                     break
@@ -447,12 +495,13 @@ class MultiplexPass:
                     nb_edges += len(succ2) + len(pred2)
 
         # abundances: re-read nodes.bin, per-kminmer lookup (cpp:5574-5657)
+        entries = list(gio.read_unitig_nodes(
+            os.path.join(self.out_dir, "unitigGraph.nodes.bin")))
+        all_hashes = _batch_window_hashes([seq for seq, _ in entries], self.k)
         with open(os.path.join(self.out_dir,
                                "unitigGraph.nodes.abundances.bin"), "wb") as f:
-            for seq, uidx in gio.read_unitig_nodes(
-                    os.path.join(self.out_dir, "unitigGraph.nodes.bin")):
-                ab = np.array([self.kminmers.get(key, 1)
-                               for key in _window_hashes(seq, self.k)],
+            for (seq, uidx), hashes in zip(entries, all_hashes):
+                ab = np.array([self.kminmers.get(key, 1) for key in hashes],
                               np.uint32)
                 f.write(struct.pack("<II", uidx, ab.shape[0]))
                 f.write(ab.tobytes())

@@ -5,10 +5,19 @@ process (no subprocess re-invocation), stage checkpoints as marker files,
 parameters.gz per pass, pass_k snapshots for the gfa subcommand. ONT inputs
 run the read-correction subsystem (correction/) between read selection and
 the first graph pass.
+
+Observability (SURVEY §5): a `metaMDBG.log` file next to the output
+(src/utils/Logger.h:68-91), per-stage wall-clock + peak-RSS accounting in
+tmp/memoryTrack.txt and tmp/perf.txt (src/Commons.hpp:2918-2938), and the
+final assembly summary (length, N50, #contigs, circular >1 Mb;
+AssemblyPipeline.hpp:383-404,1685-1726).
 """
 
+import contextlib
+import gzip
 import logging
 import os
+import resource
 import time
 
 import numpy as np
@@ -20,6 +29,26 @@ from ..io import records
 from ..sketch import read_selection
 
 log = logging.getLogger("metamdbg_tpu")
+
+
+def peak_rss_gb() -> float:
+    ru = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    return ru / 1024.0 / 1024.0  # linux: KiB
+
+
+def attach_log_file(out_dir: str):
+    """metaMDBG.log next to the output dir (src/utils/Logger.h:68-91)."""
+    path = os.path.join(out_dir, "metaMDBG.log")
+    root = logging.getLogger()
+    for h in root.handlers:
+        if isinstance(h, logging.FileHandler) and \
+                getattr(h, "baseFilename", None) == os.path.abspath(path):
+            return
+    handler = logging.FileHandler(path, mode="a")
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s %(levelname)s %(message)s"))
+    handler.setLevel(logging.DEBUG)
+    root.addHandler(handler)
 
 
 class Pipeline:
@@ -59,6 +88,20 @@ class Pipeline:
         with open(os.path.join(self.tmp_dir, "input.txt"), "w") as f:
             for p in self.read_paths:
                 f.write(p + "\n")
+        attach_log_file(out_dir)
+
+    # -- perf accounting (src/Commons.hpp:2918-2938) -------------------------
+    @contextlib.contextmanager
+    def _stage(self, name: str):
+        t0 = time.time()
+        yield
+        dt = time.time() - t0
+        rss = peak_rss_gb()
+        with open(os.path.join(self.tmp_dir, "memoryTrack.txt"), "a") as f:
+            f.write(f"{name}\t{dt:.2f}s\t{rss:.3f}GB\n")
+        with open(os.path.join(self.tmp_dir, "perf.txt"), "w") as f:
+            f.write(f"{rss:.3f}\n")
+        log.debug("stage %s: %.2fs, peak RSS %.3f GB", name, dt, rss)
 
     # -- checkpoints --------------------------------------------------------
     def _ckpt(self, name):
@@ -97,10 +140,11 @@ class Pipeline:
 
         log.info("Converting reads to minimizers")
         if not self._done("convertReadsToMinimizerSpace"):
-            read_selection.run_read_selection(
-                self.read_paths, self.tmp_dir, params,
-                min_read_quality=self.min_read_quality,
-                skip_correction=self.skip_correction)
+            with self._stage("readSelection"):
+                read_selection.run_read_selection(
+                    self.read_paths, self.tmp_dir, params,
+                    min_read_quality=self.min_read_quality,
+                    skip_correction=self.skip_correction)
             self._mark("convertReadsToMinimizerSpace")
 
         stats = records.ReadStats.load(os.path.join(self.tmp_dir, "read_stats.txt"))
@@ -116,10 +160,11 @@ class Pipeline:
                 from ..correction import stage as correction_stage
                 params = self.make_params(self.first_k, self.first_k)
                 params.save(os.path.join(self.tmp_dir, "parameters.gz"))
-                correction_stage.run_read_correction(
-                    self.tmp_dir, params,
-                    min_identity=self.read_correction_min_identity,
-                    min_overlap_length=self.read_correction_min_overlap)
+                with self._stage("readCorrection"):
+                    correction_stage.run_read_correction(
+                        self.tmp_dir, params,
+                        min_identity=self.read_correction_min_identity,
+                        min_overlap_length=self.read_correction_min_overlap)
                 self._mark("correctReads")
 
         prev_k = self.first_k
@@ -133,21 +178,24 @@ class Pipeline:
             params.save(os.path.join(self.tmp_dir, "parameters.gz"))
 
             if not self._done(f"k{k}_createGraph"):
-                if pass_index == 0:
-                    stage.run_graph_first_pass(self.tmp_dir, k,
-                                               self.min_abundance)
-                elif k == self.first_k + 1:
-                    stage.run_graph_second_pass(self.tmp_dir, k, params)
-                else:
-                    multiplex.run_graph_multiplex_pass(self.tmp_dir, k, params)
+                with self._stage(f"k{k}_createGraph"):
+                    if pass_index == 0:
+                        stage.run_graph_first_pass(self.tmp_dir, k,
+                                                   self.min_abundance)
+                    elif k == self.first_k + 1:
+                        stage.run_graph_second_pass(self.tmp_dir, k, params)
+                    else:
+                        multiplex.run_graph_multiplex_pass(self.tmp_dir, k,
+                                                           params)
                 self._mark(f"k{k}_createGraph")
 
             gen_graph = pass_index > 0 and k == self.next_gen_graph_k
             if not self._done(f"k{k}_generateContigs"):
-                contigs_mod.run_contig_stage(self.tmp_dir, params,
-                                             self.max_bubble_length,
-                                             self.max_tip_length,
-                                             gen_graph=gen_graph)
+                with self._stage(f"k{k}_generateContigs"):
+                    contigs_mod.run_contig_stage(self.tmp_dir, params,
+                                                 self.max_bubble_length,
+                                                 self.max_tip_length,
+                                                 gen_graph=gen_graph)
                 self._mark(f"k{k}_generateContigs")
 
             if gen_graph and not self._done(f"k{k}_toMinspaceAssemblyGraph"):
@@ -183,10 +231,7 @@ class Pipeline:
         self._run_final_stages(params)
 
         dt = time.time() - t0
-        log.info("Run time: %.0f s", dt)
-        log.info("Contig filename: %s",
-                 os.path.join(self.out_dir, "contigs.fasta.gz"))
-        log.info("Done!")
+        self._log_final_summary(dt)
 
     def _save_pass_snapshot(self, k: int):
         """pass_k<k>/ snapshot for the gfa subcommand
@@ -210,17 +255,20 @@ class Pipeline:
 
         log.info("Derep small contigs")
         if not self._done("derepSmallContigs"):
-            postprocess.run_derep_small(self.tmp_dir, params, self.first_k,
-                                        self.last_k)
+            with self._stage("derepSmallContigs"):
+                postprocess.run_derep_small(self.tmp_dir, params,
+                                            self.first_k, self.last_k)
             self._mark("derepSmallContigs")
 
         log.info("Removing overlaps and duplication")
         if not self._done("removeOverlaps"):
-            postprocess.run_remove_overlaps(self.tmp_dir, params)
+            with self._stage("removeOverlaps"):
+                postprocess.run_remove_overlaps(self.tmp_dir, params)
             self._mark("removeOverlaps")
 
         if not self._done("removeRepeats"):
-            postprocess.run_remove_repeats(self.tmp_dir, params)
+            with self._stage("removeRepeats"):
+                postprocess.run_remove_repeats(self.tmp_dir, params)
             self._mark("removeRepeats")
 
         log.info("Constructing base-space contigs")
@@ -228,9 +276,49 @@ class Pipeline:
             repetitive = load_repetitive_minimizers(
                 os.path.join(self.tmp_dir, "repetitiveMinimizers.bin"))
             repetitive = np.sort(repetitive)
-            reconstruct.run_to_basespace(
-                self.tmp_dir, self.read_paths,
-                os.path.join(self.out_dir, "contigs.fasta.gz"), params,
-                self.min_contig_length, self.min_contig_coverage,
-                repetitive if repetitive.size else None)
+            with self._stage("toBasespace"):
+                reconstruct.run_to_basespace(
+                    self.tmp_dir, self.read_paths,
+                    os.path.join(self.out_dir, "contigs.fasta.gz"), params,
+                    self.min_contig_length, self.min_contig_coverage,
+                    repetitive if repetitive.size else None)
             self._mark("toBasespace")
+
+    def _log_final_summary(self, run_seconds: float):
+        """Final stats block (AssemblyPipeline.hpp:383-404,1685-1726)."""
+        contig_path = os.path.join(self.out_dir, "contigs.fasta.gz")
+        lengths = []
+        circular_over_1m = 0
+        with gzip.open(contig_path, "rb") as f:
+            length = 0
+            circular = False
+            for line in f:
+                if line.startswith(b">"):
+                    if length:
+                        lengths.append(length)
+                        if circular and length > 1_000_000:
+                            circular_over_1m += 1
+                    length = 0
+                    circular = b"circular=yes" in line
+                else:
+                    length += len(line.strip())
+            if length:
+                lengths.append(length)
+                if circular and length > 1_000_000:
+                    circular_over_1m += 1
+        total = sum(lengths)
+        n50 = 0
+        acc = 0
+        for ln in sorted(lengths, reverse=True):
+            acc += ln
+            if acc * 2 >= total:
+                n50 = ln
+                break
+        log.info("Run time: %.0f s", run_seconds)
+        log.info("Peak memory: %.3f GB", peak_rss_gb())
+        log.info("Assembly length: %d", total)
+        log.info("Contigs N50: %d", n50)
+        log.info("Nb contigs: %d", len(lengths))
+        log.info("Nb circular contigs (>1Mb): %d", circular_over_1m)
+        log.info("Contig filename: %s", contig_path)
+        log.info("Done!")

@@ -86,9 +86,13 @@ class BatchSketcher:
 
 
 def device_available() -> bool:
-    """True when a JAX backend is importable (TPU or CPU)."""
+    """True when a JAX backend is importable (TPU or CPU). Unavailability
+    is reported through the device-fallback policy (loud, or fatal under
+    METAMDBG_TPU_REQUIRE_DEVICE)."""
     try:
         import jax  # noqa: F401
         return True
-    except Exception:
+    except Exception as exc:
+        from ..utils.devpolicy import device_fallback
+        device_fallback("batch sketching", exc)
         return False

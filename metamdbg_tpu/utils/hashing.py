@@ -137,6 +137,78 @@ def murmur128_u32rows(rows: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.n
     return h1, h2
 
 
+_M64 = (1 << 64) - 1
+_iC1 = 0x87C37B91114253D5
+_iC2 = 0x4CF5AD432745937F
+_iF1 = 0xFF51AFD7ED558CCD
+_iF2 = 0xC4CEB9FE1A85EC53
+
+
+def _irotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _ifmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * _iF1) & _M64
+    k ^= k >> 33
+    k = (k * _iF2) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur128_u32row_scalar(vals, seed: int = 0) -> tuple[int, int]:
+    """Scalar-int twin of murmur128_u32rows for ONE row (a python sequence
+    of u32 values) — ~50x cheaper than the numpy path at batch size 1.
+    Bit-identical (tests/test_hashing.py)."""
+    k = len(vals)
+    length = 4 * k
+    nblocks = k // 4
+    rem = k % 4
+    h1 = h2 = seed
+    for b in range(nblocks):
+        j = 4 * b
+        k1 = vals[j] | (vals[j + 1] << 32)
+        k2 = vals[j + 2] | (vals[j + 3] << 32)
+        k1 = (k1 * _iC1) & _M64
+        k1 = _irotl(k1, 31)
+        k1 = (k1 * _iC2) & _M64
+        h1 ^= k1
+        h1 = _irotl(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * _iC2) & _M64
+        k2 = _irotl(k2, 33)
+        k2 = (k2 * _iC1) & _M64
+        h2 ^= k2
+        h2 = _irotl(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    base = 4 * nblocks
+    if rem == 3:
+        k2 = (vals[base + 2] * _iC2) & _M64
+        k2 = _irotl(k2, 33)
+        k2 = (k2 * _iC1) & _M64
+        h2 ^= k2
+    if rem >= 1:
+        k1 = vals[base]
+        if rem >= 2:
+            k1 |= vals[base + 1] << 32
+        k1 = (k1 * _iC1) & _M64
+        k1 = _irotl(k1, 31)
+        k1 = (k1 * _iC2) & _M64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _ifmix(h1)
+    h2 = _ifmix(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
 def kminmer_hash128(rows: np.ndarray) -> np.ndarray:
     """128-bit k-min-mer identity hash, packed into structured (hi, lo) u64 pair.
 

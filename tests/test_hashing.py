@@ -157,3 +157,15 @@ def test_u64pair_select_mask_matches_host(rng):
     hhi = jnp.asarray((h >> np.uint64(32)).astype(np.uint32))
     got = np.asarray(u64pair.minimizer_select_mask(hlo, hhi, 0.005))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_scalar_murmur_matches_vectorized():
+    from metamdbg_tpu.utils.hashing import (murmur128_u32row_scalar,
+                                            murmur128_u32rows)
+    rng = np.random.default_rng(11)
+    for k in (1, 2, 3, 4, 5, 7, 8, 13, 40, 121):
+        rows = rng.integers(0, 2**32, size=(5, k), dtype=np.uint64).astype(np.uint32)
+        h1, h2 = murmur128_u32rows(rows)
+        for i in range(rows.shape[0]):
+            s1, s2 = murmur128_u32row_scalar(rows[i].tolist())
+            assert (s1, s2) == (int(h1[i]), int(h2[i]))
