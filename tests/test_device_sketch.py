@@ -26,12 +26,16 @@ def test_device_sketch_matches_host():
         np.testing.assert_array_equal(dd, dirs, err_msg=f"read {i} dirs")
 
 
-def test_sharded_count_matches_host():
+def test_sharded_count_table_matches_host():
+    """The mesh count table returns the FULL (hash128, count) table and is
+    byte-equivalent to host counting on data with duplicates."""
     import jax
     from jax.sharding import Mesh
 
-    from metamdbg_tpu.count.kminmers import batch_extract_kminmers, count_unique_rows
-    from metamdbg_tpu.parallel.count_table import count_kminmers_sharded
+    from metamdbg_tpu.count.kminmers import (batch_extract_kminmers,
+                                             count_unique_rows)
+    from metamdbg_tpu.parallel.count_table import count_stats, count_table
+    from metamdbg_tpu.utils.hashing import kminmer_hash128
 
     rng = np.random.default_rng(4)
     reads = [rng.integers(0, 1 << 30, size=int(n), dtype=np.uint32)
@@ -49,6 +53,10 @@ def test_sharded_count_matches_host():
     k = 4
     rows, _, _, _ = batch_extract_kminmers(reads, k)
     uniq, counts = count_unique_rows(rows)
+    host_keys = kminmer_hash128(uniq)
+    order = np.lexsort((host_keys[:, 1], host_keys[:, 0]))
+    host_keys = host_keys[order]
+    host_counts = counts[order]
 
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("data",))
@@ -56,8 +64,12 @@ def test_sharded_count_matches_host():
     if pad:
         mins = np.vstack([mins, np.zeros((pad, max_m), np.uint32)])
         lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-    step = count_kminmers_sharded(mesh)(k=k)
-    distinct, solid, overflow = step(mins, lens)
-    assert int(overflow) == 0
-    assert int(distinct) == uniq.shape[0]
-    assert int(solid) == int((counts > 1).sum())
+
+    keys, cnt = count_table(mesh, mins, lens, k)
+    np.testing.assert_array_equal(keys, host_keys)
+    np.testing.assert_array_equal(cnt, host_counts.astype(np.uint32))
+
+    distinct, solid, overflow = count_stats(mesh, mins, lens, k)
+    assert overflow == 0
+    assert distinct == uniq.shape[0]
+    assert solid == int((counts > 1).sum()) and solid > 0
