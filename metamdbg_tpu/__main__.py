@@ -31,12 +31,17 @@ def main(argv=None):
     asm.add_argument("--max-bubble-length", type=int, default=50000)
     asm.add_argument("--max-tip-length", type=int, default=50000)
     asm.add_argument("--skip-correction", action="store_true")
+    asm.add_argument("--all-assembly-graph", action="store_true",
+                     help="generate assembly graph at each multi-k iteration"
+                          " (higher disk usage)")
 
     gfa = sub.add_parser("gfa", help="export assembly graphs")
     gfa.add_argument("out_dir", help="assembly output dir (with tmp/)")
     gfa.add_argument("k", type=int, nargs="?", default=0,
                      help="k of the graph to export (0 = list available)")
     gfa.add_argument("--output", default=None)
+    gfa.add_argument("--coverage", action="store_true",
+                     help="recompute unitig coverage")
 
     mp = sub.add_parser("map", help="color an assembly graph by references")
     mp.add_argument("out_dir", help="assembly output dir (with tmp/)")
@@ -70,10 +75,12 @@ def main(argv=None):
                  density_correction=args.density_correction,
                  min_contig_length=args.min_contig_length,
                  min_contig_coverage=args.min_contig_coverage,
-                 skip_correction=args.skip_correction).run()
+                 skip_correction=args.skip_correction,
+                 all_assembly_graph=args.all_assembly_graph).run()
     elif args.command == "gfa":
         from metamdbg_tpu.pipeline.gfa import run_gfa
-        run_gfa(args.out_dir, args.k, args.output)
+        run_gfa(args.out_dir, args.k, args.output,
+                recompute_coverage=args.coverage)
     elif args.command == "map":
         from metamdbg_tpu.pipeline.mapref import run_map
         run_map(args.out_dir, args.k, args.references, args.output_prefix)

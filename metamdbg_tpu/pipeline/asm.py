@@ -60,7 +60,8 @@ class Pipeline:
                  density_assembly: float = 0.005,
                  density_correction: float = 0.025,
                  min_contig_length: int = 50, min_contig_coverage: float = 1.0,
-                 skip_correction: bool = False):
+                 skip_correction: bool = False,
+                 all_assembly_graph: bool = False):
         self.out_dir = out_dir
         self.tmp_dir = os.path.join(out_dir, "tmp")
         self.read_paths = [os.path.abspath(p) for p in read_paths]
@@ -75,6 +76,7 @@ class Pipeline:
         self.density_correction = density_correction
         self.min_contig_length = max(50, min_contig_length)
         self.min_contig_coverage = max(1.0, min_contig_coverage)
+        self.all_assembly_graph = all_assembly_graph
         self.use_hpc = platform == "hifi"
         self.skip_correction = skip_correction or platform == "hifi"
         # platform presets (AssemblyPipeline.hpp:292-325)
@@ -189,7 +191,10 @@ class Pipeline:
                                                            params)
                 self._mark(f"k{k}_createGraph")
 
-            gen_graph = pass_index > 0 and k == self.next_gen_graph_k
+            # AssemblyPipeline.hpp:492,834: --all-assembly-graph forces a
+            # graph snapshot at every pass
+            gen_graph = pass_index > 0 and (self.all_assembly_graph
+                                            or k == self.next_gen_graph_k)
             if not self._done(f"k{k}_generateContigs"):
                 with self._stage(f"k{k}_generateContigs"):
                     contigs_mod.run_contig_stage(self.tmp_dir, params,
@@ -207,8 +212,9 @@ class Pipeline:
                     os.path.join(self.tmp_dir, "unitigGraph.nodes.bin"),
                     params)
                 self._mark(f"k{k}_toMinspaceAssemblyGraph")
-            if gen_graph:
-                self.next_gen_graph_k += 10
+            if k == self.next_gen_graph_k:
+                # AssemblyPipeline.hpp:1273-1280
+                self.next_gen_graph_k += 1 if self.all_assembly_graph else 10
 
             out_name = "contig_data_init.txt" if is_final else "unitig_data.txt"
             if not self._done(f"k{k}_toMinspaceContigs"):

@@ -1,9 +1,18 @@
 """`gfa` subcommand: export assembly graphs saved during multi-k passes.
 
-Mirrors GenerateGfa (src/graph/GenerateGfa.hpp:134-230) + ToBasespaceGfa
-(unitig base sequences rebuilt from the original reads): with k=0, lists the
-available checkpoints (k -> approx bp: 1/density*(k-1)+l); otherwise writes
-`<out>` as a GFA whose S lines carry reconstructed unitig sequences.
+Mirrors GenerateGfa (src/graph/GenerateGfa.hpp:134-230,414-560,653-786,883-1010)
++ ToBasespaceGfa (unitig base sequences rebuilt from the original reads):
+
+- ``k=0``: list available checkpoints (k -> approx bp: 1/density*(k-1)+l);
+- else write ``assemblyGraph_k<k>.gfa`` (S lines carry reconstructed unitig
+  sequences, dp coverage; L lines carry base-space overlap sizes computed
+  from the unitig sequence minimizers, GenerateGfa.hpp:395-406,540-580),
+  ``assemblyGraph_k<k>.noseq.gfa`` (S sequences replaced by ``*``),
+  ``assemblyGraph_k<k>_contigPath.tsv`` + ``_contigNames.csv`` (final contigs
+  mapped onto the graph's unitigs, GenerateGfa.hpp:653-786 — v1.4 generates
+  the contig path unconditionally, GenerateGfa.hpp:105-108);
+- ``--coverage``: recompute unitig dp from k=4 k-min-mer abundances
+  (GenerateGfa.hpp:883-1010).
 """
 
 import logging
@@ -15,16 +24,127 @@ log = logging.getLogger("metamdbg_tpu")
 
 
 def available_ks(tmp_dir: str) -> list:
+    """getAvailableKValues (GenerateGfa.hpp:237-267): pass_k dirs holding an
+    assembly_graph.gfa.unitigs file."""
     out = []
     for name in sorted(os.listdir(tmp_dir)):
-        if name.startswith("pass_k") and \
-                os.path.exists(os.path.join(tmp_dir, name, "assembly_graph.gfa")):
+        if name.startswith("pass_k") and os.path.exists(
+                os.path.join(tmp_dir, name, "assembly_graph.gfa.unitigs")):
             out.append(int(name[len("pass_k"):]))
     return sorted(out)
 
 
-def run_gfa(out_dir: str, k: int, output_path: str | None = None):
+def _unitig_minimizers(seq: np.ndarray, params, repetitive):
+    """LoadUnitigsFunctor (GenerateGfa.hpp:358-420): RLE + minimizer parse
+    with _trimBps=0; returns (minimizers, rle positions of each minimizer's
+    original start, rle_positions array)."""
+    from ..sketch import kmers, minimizers, rle
+
+    rle_seq, rle_pos = rle.rle_encode(np.asarray(seq, np.uint8),
+                                      params.use_homopolymer_compression)
+    codes, bad = kmers.base_codes(rle_seq)
+    mins, pos, _ = minimizers.select_minimizers(
+        codes, bad, params.minimizer_size, params.density_assembly,
+        repetitive=repetitive, trim=0)
+    return mins, pos, rle_pos
+
+
+def _unitig_overlaps(seq, params, repetitive):
+    """Base-space overlap spans of a unitig's two ends
+    (GenerateGfa.hpp:395-406)."""
+    k = params.kminmer_size
+    mins, pos, rle_pos = _unitig_minimizers(seq, params, repetitive)
+    if mins.shape[0] < k:
+        return 0, 0
+    ovl_plus = int(len(seq)) - int(rle_pos[int(pos[mins.shape[0] - k + 1])])
+    ovl_minus = int(rle_pos[int(pos[k - 2]) + params.minimizer_size])
+    return ovl_plus, ovl_minus
+
+
+def _recomputed_coverages(tmp_dir: str, unitig_records) -> list:
+    """computeUnitigCoverage (GenerateGfa.hpp:883-1010): mean k=4 k-min-mer
+    abundance per unitig, missing k-min-mers counted as 1."""
+    from ..count.kminmers import extract_kminmers
+    from ..utils.hashing import kminmer_hash128
+
+    table: dict = {}
+    path = os.path.join(tmp_dir, "kminmerData_abundance_init.txt")
+    with open(path, "rb") as f:
+        data = f.read()
+    rec = np.frombuffer(data, dtype=np.dtype([("lo", "<u8"), ("hi", "<u8"),
+                                              ("count", "<u4")]))
+    for lo, hi, count in rec:
+        if count <= 1:
+            continue
+        table[(int(hi), int(lo))] = int(count)
+
+    coverages = []
+    for r in unitig_records:
+        windows, _ = extract_kminmers(np.asarray(r.minimizers, np.uint32), 4)
+        if windows.shape[0] == 0:
+            coverages.append(1.0)
+            continue
+        hashes = kminmer_hash128(windows)
+        total = 0.0
+        for h1, h2 in hashes:
+            total += table.get((int(h1), int(h2)), 1)
+        coverages.append(total / windows.shape[0])
+    return coverages
+
+
+def _generate_contig_path(tmp_dir: str, out_prefix: str, params,
+                          unitig_records, utg_names: list):
+    """generateContigPath (GenerateGfa.hpp:653-786): walk each final contig's
+    k-min-mers, map to graph unitigs (named per the GFA S line at the same
+    position, _unitigOrderRev GenerateGfa.hpp:489), dedupe consecutive
+    repeats."""
+    from ..count.kminmers import extract_kminmers
     from ..io import records
+
+    contig_data = os.path.join(tmp_dir, "contig_data_final.bin")
+    if not os.path.exists(contig_data):
+        log.info("Can't find contig data at location: %s", contig_data)
+        log.info("Skip contig path")
+        return None
+
+    k = params.kminmer_size
+    vec_to_unitig: dict = {}
+    for i, rec in enumerate(unitig_records):
+        windows, _ = extract_kminmers(np.asarray(rec.minimizers, np.uint32), k)
+        for row in windows:
+            vec_to_unitig[row.tobytes()] = i
+
+    path_file = out_prefix + "_contigPath.tsv"
+    name_file = out_prefix + "_contigNames.csv"
+    with open(path_file, "w") as pf, open(name_file, "w") as nf:
+        nf.write("Name,ContigName\n")
+        for ci, rec in enumerate(
+                records.read_read_data(contig_data, with_quality=False)):
+            windows, _ = extract_kminmers(np.asarray(rec.minimizers,
+                                                     np.uint32), k)
+            prev = None
+            path = []
+            for row in windows:
+                u = vec_to_unitig.get(row.tobytes())
+                if u is None:
+                    continue
+                if u != prev:
+                    prev = u
+                    path.append(u)
+            if not path:
+                continue
+            pf.write(f"ctg{ci}")
+            for u in path:
+                pf.write(f"\t{utg_names[u]}")
+                nf.write(f"{utg_names[u]},ctg{ci}\n")
+            pf.write("\n")
+    return path_file, name_file
+
+
+def run_gfa(out_dir: str, k: int, output_path: str | None = None,
+            recompute_coverage: bool = False):
+    from ..io import records
+    from ..io.records import load_repetitive_minimizers
     from ..basespace import postprocess, reconstruct, tiling
 
     tmp_dir = os.path.join(out_dir, "tmp")
@@ -45,6 +165,10 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None):
     gfa_in = os.path.join(pass_dir, "assembly_graph.gfa")
     unitigs_file = os.path.join(pass_dir, "assembly_graph.gfa.unitigs")
     params = records.Parameters.load(os.path.join(pass_dir, "parameters.gz"))
+    repetitive = np.sort(load_repetitive_minimizers(
+        os.path.join(tmp_dir, "repetitiveMinimizers.bin")))
+    if repetitive.size == 0:
+        repetitive = None
 
     # map reads to the unitig minimizer sequences and rebuild base sequences
     aln_file = os.path.join(tmp_dir, "gfaAlignments.bin")
@@ -70,26 +194,83 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None):
 
     avg_dist = float(1.0 / np.float32(params.density_assembly))
     sequences = {}
+    overlaps = {}
     for i, rec in enumerate(unitig_records):
-        sequences[i] = reconstruct.reconstruct_unpolished(
+        seq = reconstruct.reconstruct_unpolished(
             rec.minimizers, rec.is_circular, per_unitig[i], read_seqs,
             avg_dist)
+        sequences[i] = seq
+        overlaps[i] = (_unitig_overlaps(seq, params, repetitive)
+                       if seq is not None else (0, 0))
     os.remove(aln_file)
 
+    coverages = (_recomputed_coverages(tmp_dir, unitig_records)
+                 if recompute_coverage else None)
+
     if output_path is None:
-        output_path = os.path.join(out_dir, f"assemblyGraph_k{k}.gfa")
-    with open(gfa_in) as fin, open(output_path, "w") as fout:
+        out_prefix = os.path.join(out_dir, f"assemblyGraph_k{k}")
+        output_path = out_prefix + ".gfa"
+    else:
+        out_prefix = output_path[:-4] if output_path.endswith(".gfa") \
+            else output_path
+    noseq_path = out_prefix + ".noseq.gfa"
+
+    # order index (S-line position) per utg name, as _unitigOrder
+    # (GenerateGfa.hpp:484-490)
+    utg_order: dict = {}
+    with open(gfa_in) as fin:
         s_index = 0
         for line in fin:
             if line.startswith("S\t"):
-                fields = line.rstrip("\n").split("\t")
-                seq = sequences.get(s_index)
-                if seq is not None:
-                    fields[2] = bytes(seq).decode()
-                    fields[3] = f"LN:i:{len(seq)}"
-                fout.write("\t".join(fields) + "\n")
+                utg_order[line.split("\t", 2)[1]] = s_index
                 s_index += 1
+
+    # two passes like the reference: all S lines, then all L lines
+    # (GenerateGfa.hpp:444-500 then 502-585); dp uses C++ to_string(float)
+    # formatting (6 fixed decimals)
+    with open(gfa_in) as fin, open(output_path, "w") as fout, \
+            open(noseq_path, "w") as fnoseq:
+        s_index = 0
+        for line in fin:
+            fields = line.rstrip("\n").split("\t")
+            if fields[0] != "S":
+                continue
+            if coverages is not None:
+                cov = float(coverages[s_index])
             else:
-                fout.write(line)
-    log.info("Assembly graph written: %s", output_path)
+                cov = float(fields[4][5:])  # strip "dp:i:"
+            seq = sequences.get(s_index)
+            if seq is not None:
+                seq_str = bytes(seq).decode()
+                fout.write(f"S\t{fields[1]}\t{seq_str}\t"
+                           f"LN:i:{len(seq_str)}\tdp:i:{cov:.6f}\n")
+            else:
+                fout.write("\t".join(fields[:4]) + f"\tdp:i:{cov:.6f}\n")
+            fnoseq.write(f"S\t{fields[1]}\t*\t{fields[3]}\tdp:i:{cov:.6f}\n")
+            s_index += 1
+        fin.seek(0)
+        for line in fin:
+            fields = line.rstrip("\n").split("\t")
+            if fields[0] != "L":
+                continue
+            oi_from = utg_order[fields[1]]
+            oi_to = utg_order[fields[3]]
+            plus_f, minus_f = overlaps.get(oi_from, (0, 0))
+            plus_t, minus_t = overlaps.get(oi_to, (0, 0))
+            ovl = plus_f if fields[2] == "+" else minus_f
+            ovl = min(ovl, minus_t if fields[4] == "+" else plus_t)
+            out_line = "\t".join(fields[:5]) + f"\t{ovl}M\n"
+            fout.write(out_line)
+            fnoseq.write(out_line)
+
+    utg_names = [name for name, _ in
+                 sorted(utg_order.items(), key=lambda kv: kv[1])]
+    paths = _generate_contig_path(tmp_dir, out_prefix, params, unitig_records,
+                                  utg_names)
+
+    log.info("Assembly graph: %s", output_path)
+    log.info("Assembly graph (without sequences): %s", noseq_path)
+    if paths:
+        log.info("Contig path: %s", paths[0])
+    log.info("Done!")
     return output_path

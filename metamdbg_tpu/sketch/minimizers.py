@@ -22,11 +22,14 @@ from . import kmers as _kmers
 
 
 def select_minimizers(codes: np.ndarray, bad: np.ndarray, l: int, density: float,
-                      repetitive: np.ndarray | None = None):
+                      repetitive: np.ndarray | None = None, trim: int = 1):
     """Returns (minimizers u32, positions u32, directions u8).
 
     ``repetitive``: optional sorted u32 array of blacklisted minimizer values
     (repetitiveMinimizers.bin, ReadSelection.hpp:497-561).
+    ``trim``: positions trimmed at each end (MinimizerParser::_trimBps,
+    default 1; GenerateGfa's LoadUnitigsFunctor sets 0,
+    src/graph/GenerateGfa.hpp:366).
     """
     values, directions, _ = _kmers.canonical_kmers(codes, bad, l)
     nk = values.shape[0]
@@ -35,8 +38,9 @@ def select_minimizers(codes: np.ndarray, bad: np.ndarray, l: int, density: float
                 np.zeros(0, np.uint8))
 
     sel = minimizer_is_selected(values, density)
-    sel[0] = False
-    sel[-1] = False  # trim 1 each end (Kmer.hpp:1362,1395)
+    if trim:
+        sel[:trim] = False
+        sel[-trim:] = False  # trim 1 each end (Kmer.hpp:1362,1395)
 
     if repetitive is not None and repetitive.size > 0:
         vals32 = values.astype(MINIMIZER_DTYPE)

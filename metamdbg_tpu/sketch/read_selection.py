@@ -31,7 +31,7 @@ from ..utils.stats import compute_mean_length, compute_n50
 from . import filters, kmers, minimizers, palindrome, rle
 
 
-_CHUNK_READS = 512
+_CHUNK_READS = 4096
 
 
 def _chunked(iterable, n: int):

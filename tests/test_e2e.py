@@ -110,6 +110,28 @@ def test_gfa_and_map_subcommands(tmp_path):
     # at least one segment carries a real sequence
     assert any(set(ln.split("\t")[2]) <= set("ACGT") and len(ln.split("\t")[2]) > 50
                for ln in seg_lines)
+    # GenerateGfa surface: noseq graph, L-line base overlaps, contig path
+    noseq_path = os.path.join(out, f"assemblyGraph_k{k}.noseq.gfa")
+    assert os.path.exists(noseq_path)
+    noseq_segs = [ln for ln in open(noseq_path) if ln.startswith("S\t")]
+    assert len(noseq_segs) == len(seg_lines)
+    assert all(ln.split("\t")[2] == "*" for ln in noseq_segs)
+    link_lines = [ln for ln in open(gfa_path) if ln.startswith("L\t")]
+    assert all(ln.rstrip().split("\t")[5].endswith("M") for ln in link_lines)
+    cpath = os.path.join(out, f"assemblyGraph_k{k}_contigPath.tsv")
+    cnames = os.path.join(out, f"assemblyGraph_k{k}_contigNames.csv")
+    assert os.path.exists(cpath) and os.path.exists(cnames)
+    cpath_lines = open(cpath).read().splitlines()
+    assert cpath_lines and all(ln.startswith("ctg") for ln in cpath_lines)
+    seg_names = set(ln.split("\t")[1] for ln in seg_lines)
+    for ln in cpath_lines:
+        assert set(ln.split("\t")[1:]) <= seg_names
+    assert open(cnames).readline() == "Name,ContigName\n"
+
+    # --coverage: recompute dp from k=4 k-min-mer abundances
+    main(["gfa", out, str(k), "--coverage"])
+    cov_segs = [ln for ln in open(gfa_path) if ln.startswith("S\t")]
+    assert all("dp:i:" in ln for ln in cov_segs)
 
     ref_fa = str(tmp_path / "ref.fasta")
     with open(ref_fa, "w") as f:
@@ -122,3 +144,17 @@ def test_gfa_and_map_subcommands(tmp_path):
     named = set(ln.split(",")[0] for ln in lines[1:])
     seg_names = set(ln.split("\t")[1] for ln in seg_lines)
     assert named <= seg_names
+
+
+def test_asm_all_assembly_graph(tmp_path):
+    """--all-assembly-graph snapshots the graph at every pass
+    (AssemblyPipeline.hpp:492,834,1274-1280)."""
+    fq = str(tmp_path / "reads.fastq.gz")
+    datagen.make_test_fastq(fq, genome_len=30_000, coverage=15,
+                            mean_length=6000, error_rate=0.001, seed=33)
+    out = str(tmp_path / "out")
+    main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8",
+          "--all-assembly-graph"])
+    from metamdbg_tpu.pipeline.gfa import available_ks
+    ks = available_ks(os.path.join(out, "tmp"))
+    assert ks == [5, 6, 7, 8]
