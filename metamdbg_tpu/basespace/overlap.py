@@ -247,21 +247,28 @@ def coverage_profile(bounds: Bounds, t_len: int, gap_tolerance: int = 50):
     (ToBasespace2.hpp:3062-3095): M-ish spans (anchors + small consistent
     gaps) count in both; target-only advances (deletions in the query)
     count only in coverages_mapping."""
-    cov = np.zeros(t_len, bool)
     cov_map = np.zeros(t_len, bool)
     if bounds.anchors is None:
-        return cov, cov_map
+        return np.zeros(t_len, bool), cov_map
     q, t = bounds.anchors
     if bounds.is_reversed:
         q, t = q[::-1], t[::-1]  # t ascending
     cov_map[max(0, int(t[0])):min(t_len, int(t[-1]) + ALIGN_L)] = True
+    # interval union via a difference array (vectorized over anchors)
+    delta = np.zeros(t_len + 1, np.int32)
     # anchor windows always count as matches
-    for a, b in zip(t.tolist(), (t + ALIGN_L).tolist()):
-        cov[max(0, a):min(t_len, b)] = True
+    starts = np.clip(t, 0, t_len).astype(np.int64)
+    ends = np.clip(t + ALIGN_L, 0, t_len).astype(np.int64)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, ends, -1)
     # small consistent inter-anchor gaps count as matches too
     dt = np.diff(t)
     dq = np.abs(np.diff(q))
-    ok = np.abs(dt - dq) <= gap_tolerance
-    for i in np.flatnonzero(ok & (dt > ALIGN_L)).tolist():
-        cov[max(0, int(t[i]) + ALIGN_L):min(t_len, int(t[i + 1]))] = True
+    ok = np.flatnonzero((np.abs(dt - dq) <= gap_tolerance) & (dt > ALIGN_L))
+    if ok.size:
+        gs = np.clip(t[ok] + ALIGN_L, 0, t_len).astype(np.int64)
+        ge = np.clip(t[ok + 1], 0, t_len).astype(np.int64)
+        np.add.at(delta, gs, 1)
+        np.add.at(delta, ge, -1)
+    cov = np.cumsum(delta[:-1]) > 0
     return cov, cov_map

@@ -321,12 +321,22 @@ def find_breaking_points(al: Alignment, read_seq: np.ndarray, qual,
     t_starts = t
     t_finals = t + overlap.ALIGN_L - 1  # inclusive anchor ends
 
-    prev_boundary = t_begin - 1
-    for we in window_ends:
-        ws = prev_boundary + 1
-        prev_boundary = we
+    # hoisted window-boundary lookups (one vectorized call per alignment
+    # instead of two scalar searchsorted per window) + quality prefix sums
+    we_arr = np.asarray(window_ends, np.int64)
+    ws_arr = np.empty_like(we_arr)
+    ws_arr[0] = t_begin
+    ws_arr[1:] = we_arr[:-1] + 1
+    k_arr = np.searchsorted(t_finals, ws_arr, side="left")
+    k2_arr = np.searchsorted(t_starts, we_arr, side="right") - 1
+    qual_prefix = None
+    if qual is not None:
+        qual_prefix = np.concatenate([[0], np.cumsum(qual, dtype=np.int64)])
+
+    for wi, we in enumerate(window_ends):
+        ws = int(ws_arr[wi])
         # entry point: first matched base with t >= ws
-        k = int(np.searchsorted(t_finals, ws, side="left"))
+        k = int(k_arr[wi])
         if k >= t_starts.shape[0]:
             continue
         if t_starts[k] <= ws:
@@ -342,7 +352,7 @@ def find_breaking_points(al: Alignment, read_seq: np.ndarray, qual,
         if first_t > we:
             continue
         # exit point: last matched base with t <= we (exclusive coords +1)
-        k2 = int(np.searchsorted(t_starts, we, side="right")) - 1
+        k2 = int(k2_arr[wi])
         if k2 < 0:
             continue
         if t_finals[k2] <= we:
@@ -364,7 +374,8 @@ def find_breaking_points(al: Alignment, read_seq: np.ndarray, qual,
         if last_q - first_q < 0.02 * window_len:
             continue
         if qual is not None:
-            avg_q = float(qual[first_q:last_q].mean()) - 33.0
+            avg_q = float((qual_prefix[last_q] - qual_prefix[first_q])
+                          / (last_q - first_q)) - 33.0
             if avg_q < QUALITY_THRESHOLD:
                 continue
         window_id = first_t // window_len

@@ -137,6 +137,29 @@ struct AlnStep {
   int32_t pos;
 };
 
+// Vectorizable DP row passes (restrict function params are honored by gcc,
+// unlike restrict locals derived from the same backing vector).
+static void SubProfile(int32_t* __restrict__ sv,
+                       const uint8_t* __restrict__ seq, uint8_t c,
+                       int64_t W) {
+  for (int64_t j = 1; j < W; ++j)
+    sv[j] = (c == seq[j - 1]) ? kMatch : kMismatch;
+}
+
+static void RowInit(int32_t* __restrict__ out,
+                    const int32_t* __restrict__ hp,
+                    const int32_t* __restrict__ sv, int64_t W) {
+  for (int64_t j = 1; j < W; ++j)
+    out[j] = std::max(hp[j - 1] + sv[j], hp[j] + kGap);
+}
+
+static void RowUpdate(int32_t* __restrict__ out,
+                      const int32_t* __restrict__ hq,
+                      const int32_t* __restrict__ sv, int64_t W) {
+  for (int64_t j = 1; j < W; ++j)
+    out[j] = std::max(out[j], std::max(hq[j - 1] + sv[j], hq[j] + kGap));
+}
+
 // kNW linear-gap alignment of `seq` against the graph restricted to the
 // node set `mask` (empty mask = whole graph). Uses the global rank order
 // filtered by the mask (a valid topological order of the subgraph) — this
@@ -145,7 +168,8 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
                   const std::vector<uint8_t>& mask,
                   std::vector<AlnStep>* alignment,
                   std::vector<int32_t>* h_storage,
-                  std::vector<int32_t>* sub_rank_storage) {
+                  std::vector<int32_t>* sub_rank_storage,
+                  std::vector<int32_t>* sub_storage) {
   alignment->clear();
   const bool use_mask = !mask.empty();
 
@@ -184,10 +208,14 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
   int32_t max_score = kNegInf;
   int32_t max_i = 0, max_j = 0;
 
+  // per-row substitution profile, reused across predecessor passes
+  std::vector<int32_t>& subv = *sub_storage;
+  subv.resize(W);
+
   for (int32_t i = 0; i < nr; ++i) {
     int32_t v = sub_rank[i];
     uint8_t c = g.code[v];
-    int32_t* Hrow = &H[(size_t)(i + 1) * W];
+    int32_t* __restrict__ Hrow = &H[(size_t)(i + 1) * W];
     bool has_out = false;
     if (use_mask) {
       for (int32_t ei : g.out[v])
@@ -196,26 +224,19 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
       has_out = !g.out[v].empty();
     }
 
+    int32_t* sv = subv.data();
+    SubProfile(sv, seq, c, W);
+
     int32_t pred0 = preds[i].empty() ? 0 : preds[i][0];
-    const int32_t* Hp = &H[(size_t)pred0 * W];
-    for (int64_t j = 1; j < W; ++j) {
-      int32_t sub = (c == seq[j - 1]) ? kMatch : kMismatch;
-      Hrow[j] = std::max(Hp[j - 1] + sub, Hp[j] + kGap);
-    }
-    for (size_t p = 1; p < preds[i].size(); ++p) {
-      const int32_t* Hq = &H[(size_t)preds[i][p] * W];
-      for (int64_t j = 1; j < W; ++j) {
-        int32_t sub = (c == seq[j - 1]) ? kMatch : kMismatch;
-        Hrow[j] = std::max(Hrow[j], std::max(Hq[j - 1] + sub, Hq[j] + kGap));
-      }
-    }
-    for (int64_t j = 1; j < W; ++j) {
+    RowInit(Hrow, &H[(size_t)pred0 * W], sv, W);
+    for (size_t p = 1; p < preds[i].size(); ++p)
+      RowUpdate(Hrow, &H[(size_t)preds[i][p] * W], sv, W);
+    for (int64_t j = 1; j < W; ++j)
       Hrow[j] = std::max(Hrow[j], Hrow[j - 1] + kGap);
-      if (!has_out && j == W - 1 && Hrow[j] > max_score) {
-        max_score = Hrow[j];
-        max_i = i + 1;
-        max_j = (int32_t)j;
-      }
+    if (!has_out && Hrow[W - 1] > max_score) {
+      max_score = Hrow[W - 1];
+      max_i = i + 1;
+      max_j = (int32_t)(W - 1);
     }
   }
   if (max_i == 0 && max_j == 0) return;
@@ -438,7 +459,7 @@ int32_t ConsensusOneWindow(
   int32_t offset = (int32_t)(0.01 * backbone_len);
 
   std::vector<AlnStep> alignment;
-  std::vector<int32_t> h_storage, sub_rank_storage;
+  std::vector<int32_t> h_storage, sub_rank_storage, sub_storage;
   std::vector<uint8_t> mask;
   std::vector<uint8_t> w;
 
@@ -450,11 +471,11 @@ int32_t ConsensusOneWindow(
     if (ps < offset && pe > backbone_len - offset) {
       mask.clear();
       AlignToGraph(g, seq, len, mask, &alignment, &h_storage,
-                   &sub_rank_storage);
+                   &sub_rank_storage, &sub_storage);
     } else {
       ExtractSubgraph(g, ps, pe, &mask);
       AlignToGraph(g, seq, len, mask, &alignment, &h_storage,
-                   &sub_rank_storage);
+                   &sub_rank_storage, &sub_storage);
     }
     w.assign(len, 1);
     if (has_qual[f]) {
