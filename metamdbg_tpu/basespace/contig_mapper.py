@@ -181,7 +181,9 @@ def map_reads_to_contigs(read_file: str, contig_file: str, output_file: str,
         index.add(rec.index, rec.minimizers)
     index.build()
 
-    use_device = os.environ.get("METAMDBG_DEVICE_CHAIN", "1") != "0"
+    from ..utils import devwarm
+    use_device = (os.environ.get("METAMDBG_DEVICE_CHAIN", "1") != "0"
+                  and devwarm.use_device("contig chain DP"))
 
     out = []
     fmt = struct.Struct("<IIIIIIBiIII")

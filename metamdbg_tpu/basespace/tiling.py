@@ -64,6 +64,9 @@ class ContigTiler:
                 if r not in self._sketches and r in self.reads]
         if not todo:
             return
+        from ..utils import devwarm
+        if not devwarm.use_device("tiling batch sketching"):
+            return  # sketch_of computes lazily on host
         try:
             from ..sketch.batch import BatchSketcher
             sk = BatchSketcher(overlap.ALIGN_L, overlap.ALIGN_DENSITY)

@@ -241,15 +241,9 @@ def _score_from_positions(positions: np.ndarray) -> int:
 
 def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
                    accum):
-    use_device = _device_enabled()
-    if use_device:
-        try:
-            import jax  # noqa: F401
-        except Exception as exc:
-            from ..utils.devpolicy import device_fallback
-            device_fallback("correction chain DP", exc)
-            _DEVICE_STATE["on"] = False
-            use_device = False
+    from ..utils import devwarm
+    use_device = _device_enabled() and \
+        devwarm.use_device("correction chain DP")
     # build the sorted pair table over chunk reads
     tbl_pairs = []
     tbl_reads = []

@@ -100,11 +100,10 @@ def count_unique_rows(rows: np.ndarray):
     import os
     if (rows.shape[0] >= _DEVICE_COUNT_MIN_ROWS
             and not os.environ.get("METAMDBG_TPU_HOST_COUNT")):
-        try:
+        from ..utils import devwarm
+        if devwarm.use_device("device row counting"):
             from ..kernels.count_jax import count_unique_rows_device
             return count_unique_rows_device(np.ascontiguousarray(rows))
-        except ImportError:
-            pass
     order = sort_rows_lex(rows)
     s = rows[order]
     new_group = np.empty(s.shape[0], dtype=bool)

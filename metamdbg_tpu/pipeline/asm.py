@@ -61,7 +61,7 @@ class Pipeline:
                  density_correction: float = 0.025,
                  min_contig_length: int = 50, min_contig_coverage: float = 1.0,
                  skip_correction: bool = False,
-                 all_assembly_graph: bool = False):
+                 all_assembly_graph: bool = False, n_threads: int = 1):
         self.out_dir = out_dir
         self.tmp_dir = os.path.join(out_dir, "tmp")
         self.read_paths = [os.path.abspath(p) for p in read_paths]
@@ -77,6 +77,7 @@ class Pipeline:
         self.min_contig_length = max(50, min_contig_length)
         self.min_contig_coverage = max(1.0, min_contig_coverage)
         self.all_assembly_graph = all_assembly_graph
+        self.n_threads = max(1, n_threads)
         self.use_hpc = platform == "hifi"
         self.skip_correction = skip_correction or platform == "hifi"
         # platform presets (AssemblyPipeline.hpp:292-325)
@@ -136,6 +137,10 @@ class Pipeline:
     # -- stages -------------------------------------------------------------
     def run(self):
         t0 = time.time()
+        # claim the device in the background; stages migrate onto it as
+        # soon as it is ready (utils/devwarm.py)
+        from ..utils import devwarm
+        devwarm.start_warmup()
         self.mean_read_length = 0
         params = self.make_params(self.first_k, self.first_k)
         params.save(os.path.join(self.tmp_dir, "parameters.gz"))
@@ -287,7 +292,8 @@ class Pipeline:
                     self.tmp_dir, self.read_paths,
                     os.path.join(self.out_dir, "contigs.fasta.gz"), params,
                     self.min_contig_length, self.min_contig_coverage,
-                    repetitive if repetitive.size else None)
+                    repetitive if repetitive.size else None,
+                    n_threads=self.n_threads)
             self._mark("toBasespace")
 
     def _log_final_summary(self, run_seconds: float):

@@ -40,6 +40,8 @@ class BatchSketcher:
 
     def __init__(self, l: int, density: float,
                  repetitive: np.ndarray | None = None):
+        from ..utils import devwarm
+        devwarm.configure_jax()
         self.l = l
         self.density = float(density)
         self.repetitive = repetitive if repetitive is not None and \
@@ -172,13 +174,7 @@ class BatchSketcher:
 
 
 def device_available() -> bool:
-    """True when a JAX backend is importable (TPU or CPU). Unavailability
-    is reported through the device-fallback policy (loud, or fatal under
-    METAMDBG_TPU_REQUIRE_DEVICE)."""
-    try:
-        import jax  # noqa: F401
-        return True
-    except Exception as exc:
-        from ..utils.devpolicy import device_fallback
-        device_fallback("batch sketching", exc)
-        return False
+    """True when the device is claimed and usable right now (see
+    utils/devwarm.py — never blocks; the claim is asynchronous)."""
+    from ..utils import devwarm
+    return devwarm.use_device("batch sketching")

@@ -46,20 +46,29 @@ def _chunked(iterable, n: int):
 
 
 def _make_sketcher(l: int, density: float, repetitive):
-    """Device batch sketcher, or None to fall back to the host path."""
-    if os.environ.get("METAMDBG_TPU_HOST_SKETCH"):
+    """Device batch sketcher, or None to always use the host path.
+
+    The sketcher is *adaptive*: building it kicks off the asynchronous
+    device claim (utils/devwarm.py), and each chunk consults
+    `devwarm.use_device` — chunks processed before the claim completes run
+    the bit-identical host path, later ones migrate onto the device. Small
+    inputs therefore never block on a pooled-TPU claim, while large ones
+    amortize it."""
+    if os.environ.get("METAMDBG_TPU_HOST_SKETCH") \
+            or os.environ.get("METAMDBG_TPU_HOST_ONLY"):
         return None
+    from ..utils import devwarm
+    devwarm.start_warmup()
     from . import batch
-    if not batch.device_available():
-        return None
     return batch.BatchSketcher(l, density, repetitive)
 
 
 def _sketch_chunk(sketcher, chunk, l, density, use_hpc, repetitive):
     """Sketch a chunk of reads. Returns [(mins, pos, dirs, rle_pos)] in
     chunk order. `pos` are k-mer indices in the RLE'd read."""
+    from ..utils import devwarm
     rles = [rle.rle_encode(read.seq, use_hpc) for read in chunk]
-    if sketcher is not None:
+    if sketcher is not None and devwarm.use_device("batch sketching"):
         coded = [kmers.base_codes(seq_rle) for seq_rle, _ in rles]
         sketched = sketcher.sketch_many([c for c, _ in coded],
                                         [b for _, b in coded])

@@ -24,6 +24,11 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 # python child would re-trigger sitecustomize) — drop the gate var too.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
+# Tests must exercise the real device dispatch paths (on the CPU mesh the
+# async device claim in utils/devwarm.py is instant): block on the claim
+# instead of silently taking the host fallback while it is pending.
+os.environ.setdefault("METAMDBG_TPU_REQUIRE_DEVICE", "1")
+
 if "jax" in sys.modules:
     import jax
     from jax._src import xla_bridge as _xb
