@@ -124,7 +124,52 @@ def count_kminmers(reads: list, k: int, min_abundance: int = 0):
     """
     rows, read_ids, _, offsets = batch_extract_kminmers(reads, k)
     uniq, counts = count_unique_rows(rows)
+    return _assemble_first_pass(rows, read_ids, offsets, uniq, counts, k,
+                                min_abundance)
 
+
+def count_kminmers_mesh(mesh, reads: list, k: int, min_abundance: int = 0,
+                        axis: str = "data"):
+    """count_kminmers with the abundance table sharded over a device mesh.
+
+    The heavy count (extract windows -> hash128 -> all_to_all route by
+    `hash % num_shards` -> per-shard sort + segment-count) runs on the mesh
+    (parallel/count_table.py), the TPU twin of the reference's hash-sharded
+    disk partitions (src/graph/CreateMdbg.hpp:3714-3883). The host keeps
+    only the unique-row materialization (needed for kminmerData_min.txt)
+    and the rescue pass, and joins mesh counts back by 128-bit hash.
+    Byte-identical artifacts to the single-device path
+    (tests/test_mesh_first_pass.py)."""
+    rows, read_ids, _, offsets = batch_extract_kminmers(reads, k)
+    if rows.shape[0] == 0:
+        return count_kminmers(reads, k, min_abundance)
+    from ..parallel.count_table import count_table
+
+    ndev = mesh.shape[axis]
+    n = len(reads)
+    n_rows = ((max(n, 1) + ndev - 1) // ndev) * ndev
+    width = max(max((r.shape[0] for r in reads), default=k), k)
+    mins = np.zeros((n_rows, width), np.uint32)
+    lens = np.zeros(n_rows, np.int32)
+    for i, m in enumerate(reads):
+        mins[i, :m.shape[0]] = m
+        lens[i] = m.shape[0]
+    keys, key_counts = count_table(mesh, mins, lens, k, axis=axis)
+
+    uniq, _ = count_unique_rows(rows)
+    qkey = np.stack(murmur128_u32rows(uniq), axis=1)
+    idx = _searchsorted_pairs(keys, qkey)
+    idx_c = np.minimum(idx, keys.shape[0] - 1)
+    if not (keys[idx_c] == qkey).all():
+        raise AssertionError("mesh count table is missing k-min-mers "
+                             "present on host — routing bug")
+    counts = key_counts[idx_c]
+    return _assemble_first_pass(rows, read_ids, offsets, uniq, counts, k,
+                                min_abundance)
+
+
+def _assemble_first_pass(rows, read_ids, offsets, uniq, counts, k,
+                         min_abundance):
     solid_mask = counts > 1
     if min_abundance > 1:
         solid_mask &= counts >= min_abundance

@@ -74,12 +74,22 @@ def run_graph_second_pass(out_dir: str, k: int, params: records.Parameters):
 
 
 def run_graph_first_pass(out_dir: str, k: int, min_abundance: int = 0,
-                         reads=None):
-    """Returns the UnitigGraph; writes all stage artifacts into out_dir."""
+                         reads=None, mesh=None):
+    """Returns the UnitigGraph; writes all stage artifacts into out_dir.
+
+    With `mesh` (a >=2-device jax Mesh), first-pass counting runs the
+    sharded count table (parallel/count_table.py, all_to_all hash routing);
+    artifacts are byte-identical to the single-device path
+    (tests/test_mesh_first_pass.py). This is the entry point
+    `dryrun_multichip` exercises."""
     if reads is None:
         reads = load_minimizer_reads(os.path.join(out_dir, "read_data_corrected.txt"))
 
-    counts = count_kminmers(reads, k, min_abundance)
+    if mesh is not None and mesh.devices.size > 1:
+        from ..count.kminmers import count_kminmers_mesh
+        counts = count_kminmers_mesh(mesh, reads, k, min_abundance)
+    else:
+        counts = count_kminmers(reads, k, min_abundance)
 
     gio.write_kminmer_rows(os.path.join(out_dir, "kminmerData_min.txt"),
                            counts["all_rows"])

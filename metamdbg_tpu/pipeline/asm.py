@@ -187,8 +187,10 @@ class Pipeline:
             if not self._done(f"k{k}_createGraph"):
                 with self._stage(f"k{k}_createGraph"):
                     if pass_index == 0:
+                        from ..parallel import production_mesh
                         stage.run_graph_first_pass(self.tmp_dir, k,
-                                                   self.min_abundance)
+                                                   self.min_abundance,
+                                                   mesh=production_mesh())
                     elif k == self.first_k + 1:
                         stage.run_graph_second_pass(self.tmp_dir, k, params)
                     else:

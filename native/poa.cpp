@@ -1,12 +1,18 @@
 // Partial-order-alignment window consensus engine (spoa-semantics).
 //
-// Re-implements, from scratch, the behavior the reference gets from the
-// vendored spoa library (ext/spoa/src/graph.cpp, sisd_alignment_engine.cpp)
-// as used by ContigPolisher (src/toBasespace/ContigPolisher.hpp:2141,
-// 2587-2704): linear-gap kNW alignment of window fragments to a growing
-// POA graph (scores 3/-5/-4), quality-weighted edges (phred-33), subgraph
-// alignment for fragments that do not span the window, and heaviest-bundle
-// consensus with per-base coverage summary.
+// Provenance: the graph-maintenance routines here (TopologicalSort,
+// AddAlignment, HeaviestBundle/branch completion, ExtractSubgraph) are
+// DERIVED from the spoa library (https://github.com/rvaser/spoa, MIT
+// license, (c) Robert Vaser), which the reference vendors at ext/spoa and
+// uses through ContigPolisher (src/toBasespace/ContigPolisher.hpp:2141,
+// 2587-2704). Byte-identical polishing requires spoa's exact traversal
+// order and tie-break semantics (e.g. the scores/predecessors tie-break in
+// heaviest-bundle, the aligned-node special case in the sort), so those
+// functions intentionally keep spoa's structure; see LICENSE-THIRD-PARTY
+// for the MIT text. The rest of the file — the batched ctypes window API,
+// the vectorized linear-gap kNW DP rows (scores 3/-5/-4), subgraph-masked
+// alignment, quality-weighted edges (phred-33), and the per-base coverage
+// summary — is original to this repository.
 //
 // Batch API: one call polishes many windows, OpenMP-parallel across windows
 // (the reference parallelizes the same loop across threads,

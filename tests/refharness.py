@@ -6,14 +6,57 @@ orchestrator drives it (src/pipeline/AssemblyPipeline.hpp:733-991).
 """
 
 import os
+import shutil
 import subprocess
 
-REF_BIN = os.path.join(os.path.dirname(__file__), os.pardir,
-                       ".refbuild", "src", "build", "bin", "metaMDBG")
+REF_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
+                                        ".refbuild"))
+REF_BIN = os.path.join(REF_ROOT, "src", "build", "bin", "metaMDBG")
+REF_SRC = "/root/reference"
 
 
 def ref_available() -> bool:
     return os.path.exists(REF_BIN)
+
+
+def require_reference():
+    """Build the reference binary if missing; raise (never skip) on failure.
+
+    Golden-parity suites must not silently degrade into no-ops when the
+    oracle binary is absent — a green run has to be distinguishable from an
+    unverified one. Called at import time by every parity test module: a
+    missing binary triggers an automatic cmake build (~3 min, out of the
+    repo's source tree, into .refbuild/build — the binary lands in
+    .refbuild/src/build/bin per the reference's own CMake output dirs), and
+    a failed build errors the collection instead of skipping 17 tests.
+
+    Explicit opt-out (no native toolchain): METAMDBG_TPU_SKIP_PARITY=1
+    skips with a loud reason via pytest.skip(allow_module_level=True).
+    """
+    if ref_available():
+        return
+    if os.environ.get("METAMDBG_TPU_SKIP_PARITY"):
+        import pytest
+        pytest.skip("METAMDBG_TPU_SKIP_PARITY set: golden-parity oracles "
+                    "NOT verified in this run", allow_module_level=True)
+    if not os.path.isdir(REF_SRC):
+        raise RuntimeError(
+            f"reference source not found at {REF_SRC} and no prebuilt "
+            f"binary at {REF_BIN}; parity cannot be verified. Build it "
+            f"with: cp -r <metaMDBG checkout> .refbuild && cmake -S "
+            f".refbuild -B .refbuild/build && make -C .refbuild/build")
+    if not os.path.isdir(REF_ROOT):
+        shutil.copytree(REF_SRC, REF_ROOT, symlinks=True)
+    build_dir = os.path.join(REF_ROOT, "build")
+    subprocess.run(["cmake", "-S", REF_ROOT, "-B", build_dir,
+                    "-DCMAKE_BUILD_TYPE=Release"], check=True,
+                   capture_output=True)
+    subprocess.run(["make", "-C", build_dir,
+                    f"-j{os.cpu_count() or 2}"], check=True,
+                   capture_output=True)
+    if not ref_available():
+        raise RuntimeError(f"reference build completed but {REF_BIN} "
+                           f"is missing")
 
 
 def setup_tmpdir(tmp_dir: str, fastq_paths, params) -> None:

@@ -16,8 +16,9 @@ import refharness
 from metamdbg_tpu.correction import stage
 from metamdbg_tpu.io import records
 
-pytestmark = pytest.mark.skipif(not refharness.ref_available(),
-                                reason="reference binary not built")
+# Auto-builds the oracle binary (or fails loudly) — parity suites must
+# never silently skip (see refharness.require_reference).
+refharness.require_reference()
 
 
 def _ont_params():

@@ -13,8 +13,9 @@ import datagen
 import multik_driver
 import refharness
 
-pytestmark = pytest.mark.skipif(not refharness.ref_available(),
-                                reason="reference binary not built")
+# Auto-builds the oracle binary (or fails loudly) — parity suites must
+# never silently skip (see refharness.require_reference).
+refharness.require_reference()
 
 
 def test_multik_chain_parity(tmp_path):

@@ -17,8 +17,9 @@ import refharness
 from metamdbg_tpu.io import records
 from metamdbg_tpu.sketch import read_selection
 
-pytestmark = pytest.mark.skipif(not refharness.ref_available(),
-                                reason="reference binary not built")
+# Auto-builds the oracle binary (or fails loudly) — parity suites must
+# never silently skip (see refharness.require_reference).
+refharness.require_reference()
 
 
 def _params_hifi():
