@@ -264,11 +264,36 @@ def _chain_and_select(recs, groups, avg_dist, use_device):
                 if len(interval) >= 2:
                     intervals[gi] = interval
     elif groups:
-        for gi, (slot, contig, a_ref, a_q, a_rev) in enumerate(groups):
-            pos_bp = recs[slot].positions.astype(np.int64)
-            chained = _chain((a_ref, a_q, a_rev), pos_bp, avg_dist)
-            if chained is not None:
-                intervals[gi] = chained[1]
+        from ..sketch import native_sketch
+        nat = None
+        if native_sketch.available():
+            garrs = []
+            for (slot, contig, a_ref, a_q, a_rev) in groups:
+                pos_bp = recs[slot].positions.astype(np.int64)
+                garrs.append((a_ref, a_q, pos_bp[a_q], a_rev))
+            nat = native_sketch.chain_batch_native(
+                garrs, float(avg_dist), CHAIN_BAND, float(CHAIN_W), 100, 5000)
+        if nat is not None:
+            best_i, parents_list = nat
+            for gi in range(len(groups)):
+                b = int(best_i[gi])
+                if b < 0:
+                    continue
+                par = parents_list[gi]
+                interval = []
+                idx = b
+                while idx != -1:
+                    interval.append(idx)
+                    idx = int(par[idx])
+                interval.reverse()
+                if len(interval) >= 2:
+                    intervals[gi] = interval
+        else:
+            for gi, (slot, contig, a_ref, a_q, a_rev) in enumerate(groups):
+                pos_bp = recs[slot].positions.astype(np.int64)
+                chained = _chain((a_ref, a_q, a_rev), pos_bp, avg_dist)
+                if chained is not None:
+                    intervals[gi] = chained[1]
 
     # best mapping per read (hpp:1030-1042 tie-breaks), in slot order
     best_per_slot = [None] * len(recs)

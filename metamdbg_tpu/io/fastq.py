@@ -79,7 +79,9 @@ def write_fasta(path: str, records, gzipped: bool | None = None):
     """records: iterable of (header, sequence-str-or-bytes)."""
     if gzipped is None:
         gzipped = path.endswith(".gz")
-    opener = gzip.open if gzipped else open
+    # level 1 like the reference's bgzf "w1" (ToBasespace2.hpp:456)
+    opener = (lambda p, m: gzip.open(p, m, compresslevel=1)) if gzipped \
+        else open
     with opener(path, "wb") as f:
         for header, seq in records:
             if isinstance(seq, str):

@@ -30,7 +30,27 @@ def select_minimizers(codes: np.ndarray, bad: np.ndarray, l: int, density: float
     ``trim``: positions trimmed at each end (MinimizerParser::_trimBps,
     default 1; GenerateGfa's LoadUnitigsFunctor sets 0,
     src/graph/GenerateGfa.hpp:366).
+
+    Production host path is the native batch sketcher (native/sketch.cpp,
+    bit-identical — tests/test_sketch.py); the numpy path below is the
+    golden reference and import-failure fallback.
     """
+    from . import native_sketch
+    if native_sketch.available():
+        res = native_sketch.sketch_batch_native(
+            [np.asarray(codes, np.uint8)], [np.asarray(bad, bool)], l,
+            density, repetitive, trim, n_threads=1)
+        if res is not None:
+            vals, pos, dirs = res[0]
+            return vals.astype(MINIMIZER_DTYPE), pos, dirs
+    return select_minimizers_numpy(codes, bad, l, density, repetitive, trim)
+
+
+def select_minimizers_numpy(codes: np.ndarray, bad: np.ndarray, l: int,
+                            density: float,
+                            repetitive: np.ndarray | None = None,
+                            trim: int = 1):
+    """Numpy golden path (the parity oracle for native + device twins)."""
     values, directions, _ = _kmers.canonical_kmers(codes, bad, l)
     nk = values.shape[0]
     if nk == 0:

@@ -74,10 +74,18 @@ def _sketch_chunk(sketcher, chunk, l, density, use_hpc, repetitive):
                                         [b for _, b in coded])
         return [(mins, pos, dirs, rles[i][1])
                 for i, (mins, pos, dirs) in enumerate(sketched)]
+    coded = [kmers.base_codes(seq_rle) for seq_rle, _ in rles]
+    from . import native_sketch
+    if native_sketch.available():
+        res = native_sketch.sketch_batch_native(
+            [c for c, _ in coded], [b for _, b in coded], l, density,
+            repetitive)
+        if res is not None:
+            return [(vals, pos, dirs, rles[i][1])
+                    for i, (vals, pos, dirs) in enumerate(res)]
     out = []
-    for (seq_rle, rle_pos) in rles:
-        codes, bad = kmers.base_codes(seq_rle)
-        mins, pos, dirs = minimizers.select_minimizers(
+    for (codes, bad), (_, rle_pos) in zip(coded, rles):
+        mins, pos, dirs = minimizers.select_minimizers_numpy(
             codes, bad, l, density, repetitive)
         out.append((mins, pos, dirs, rle_pos))
     return out

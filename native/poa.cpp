@@ -24,6 +24,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__SSE4_1__)
+#include <immintrin.h>
+#endif
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -144,62 +148,139 @@ struct AlnStep {
 };
 
 // Vectorizable DP row passes (restrict function params are honored by gcc,
-// unlike restrict locals derived from the same backing vector).
-static void SubProfile(int32_t* __restrict__ sv,
-                       const uint8_t* __restrict__ seq, uint8_t c,
-                       int64_t W) {
+// unlike restrict locals derived from the same backing vector). Templated
+// on the score type: windows small enough run int16 rows (double the SIMD
+// width and half the memory traffic of int32).
+template <typename S>
+static void RowInit(S* __restrict__ out, const S* __restrict__ hp,
+                    const S* __restrict__ sv, int64_t W) {
   for (int64_t j = 1; j < W; ++j)
-    sv[j] = (c == seq[j - 1]) ? kMatch : kMismatch;
+    out[j] = std::max<S>(hp[j - 1] + sv[j], hp[j] + (S)kGap);
 }
 
-static void RowInit(int32_t* __restrict__ out,
-                    const int32_t* __restrict__ hp,
-                    const int32_t* __restrict__ sv, int64_t W) {
+template <typename S>
+static void RowUpdate(S* __restrict__ out, const S* __restrict__ hq,
+                      const S* __restrict__ sv, int64_t W) {
   for (int64_t j = 1; j < W; ++j)
-    out[j] = std::max(hp[j - 1] + sv[j], hp[j] + kGap);
+    out[j] = std::max<S>(out[j],
+                         std::max<S>(hq[j - 1] + sv[j], hq[j] + (S)kGap));
 }
 
-static void RowUpdate(int32_t* __restrict__ out,
-                      const int32_t* __restrict__ hq,
-                      const int32_t* __restrict__ sv, int64_t W) {
-  for (int64_t j = 1; j < W; ++j)
-    out[j] = std::max(out[j], std::max(hq[j - 1] + sv[j], hq[j] + kGap));
+// Horizontal-gap closure: out[j] = max(out[j], out[j-1] + kGap), the only
+// loop-carried pass of the DP (~80% of alignment time when scalar). Solved
+// as a prefix max of t[j] = out[j] - j*kGap (a ramp), SIMD log-step within
+// 128-bit blocks + carried running max across blocks.
+template <typename S>
+static void GapScan(S* __restrict__ out, const S* __restrict__ ramp,
+                    int64_t W);
+
+#if defined(__SSE4_1__)
+// Values are biased into the unsigned domain (XOR the sign bit) so the
+// zeros _mm_slli_si128 shifts in are the MINIMUM and never win the max.
+template <>
+void GapScan<int16_t>(int16_t* __restrict__ out,
+                      const int16_t* __restrict__ ramp, int64_t W) {
+  int64_t j = 1;
+  const __m128i bias = _mm_set1_epi16((int16_t)0x8000);
+  const __m128i bcast_last = _mm_set1_epi16(0x0F0E);
+  __m128i carry = _mm_xor_si128(
+      _mm_set1_epi16((int16_t)(out[0] + ramp[0])), bias);
+  for (; j + 8 <= W; j += 8) {
+    __m128i r = _mm_loadu_si128((const __m128i*)(ramp + j));
+    __m128i t = _mm_add_epi16(_mm_loadu_si128((const __m128i*)(out + j)), r);
+    t = _mm_xor_si128(t, bias);
+    t = _mm_max_epu16(t, _mm_slli_si128(t, 2));
+    t = _mm_max_epu16(t, _mm_slli_si128(t, 4));
+    t = _mm_max_epu16(t, _mm_slli_si128(t, 8));
+    t = _mm_max_epu16(t, carry);
+    carry = _mm_shuffle_epi8(t, bcast_last);
+    t = _mm_xor_si128(t, bias);
+    _mm_storeu_si128((__m128i*)(out + j), _mm_sub_epi16(t, r));
+  }
+  int16_t run = (int16_t)(_mm_extract_epi16(carry, 0) ^ 0x8000);
+  for (; j < W; ++j) {
+    int16_t t = (int16_t)(out[j] + ramp[j]);
+    if (run > t) t = run;
+    run = t;
+    out[j] = (int16_t)(t - ramp[j]);
+  }
 }
+
+template <>
+void GapScan<int32_t>(int32_t* __restrict__ out,
+                      const int32_t* __restrict__ ramp, int64_t W) {
+  int64_t j = 1;
+  const __m128i bias = _mm_set1_epi32((int32_t)0x80000000);
+  __m128i carry = _mm_xor_si128(_mm_set1_epi32(out[0] + ramp[0]), bias);
+  for (; j + 4 <= W; j += 4) {
+    __m128i r = _mm_loadu_si128((const __m128i*)(ramp + j));
+    __m128i t = _mm_add_epi32(_mm_loadu_si128((const __m128i*)(out + j)), r);
+    t = _mm_xor_si128(t, bias);
+    t = _mm_max_epu32(t, _mm_slli_si128(t, 4));
+    t = _mm_max_epu32(t, _mm_slli_si128(t, 8));
+    t = _mm_max_epu32(t, carry);
+    carry = _mm_shuffle_epi32(t, 0xFF);
+    t = _mm_xor_si128(t, bias);
+    _mm_storeu_si128((__m128i*)(out + j), _mm_sub_epi32(t, r));
+  }
+  int32_t run = _mm_cvtsi128_si32(carry) ^ (int32_t)0x80000000;
+  for (; j < W; ++j) {
+    int32_t t = out[j] + ramp[j];
+    if (run > t) t = run;
+    run = t;
+    out[j] = t - ramp[j];
+  }
+}
+#else
+template <typename S>
+static void GapScan(S* __restrict__ out, const S* __restrict__ ramp,
+                    int64_t W) {
+  S run = (S)(out[0] + ramp[0]);
+  for (int64_t j = 1; j < W; ++j) {
+    S t = (S)(out[j] + ramp[j]);
+    if (run > t) t = run;
+    run = t;
+    out[j] = (S)(t - ramp[j]);
+  }
+}
+#endif
 
 // kNW linear-gap alignment of `seq` against the graph restricted to the
 // node set `mask` (empty mask = whole graph). Uses the global rank order
 // filtered by the mask (a valid topological order of the subgraph) — this
 // plays the role of spoa's Subgraph + Align + UpdateAlignment.
-void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
-                  const std::vector<uint8_t>& mask,
-                  std::vector<AlnStep>* alignment,
-                  std::vector<int32_t>* h_storage,
-                  std::vector<int32_t>* sub_rank_storage,
-                  std::vector<int32_t>* sub_storage) {
-  alignment->clear();
+template <typename S>
+static void AlignToGraphT(const Graph& g, const uint8_t* seq, int32_t len,
+                          const std::vector<uint8_t>& mask,
+                          std::vector<AlnStep>* alignment,
+                          const std::vector<int32_t>& sub_rank) {
   const bool use_mask = !mask.empty();
-
-  std::vector<int32_t>& sub_rank = *sub_rank_storage;
-  sub_rank.clear();
-  for (int32_t v : g.rank_to_node) {
-    if (!use_mask || mask[v]) sub_rank.push_back(v);
-  }
   int32_t nr = (int32_t)sub_rank.size();
-  if (nr == 0 || len == 0) return;
 
   // row index in H for each node: rank-in-subgraph + 1 (row 0 = origin)
-  std::vector<int32_t> node_row(g.code.size(), -1);
+  static thread_local std::vector<int32_t> node_row;
+  node_row.assign(g.code.size(), -1);
   for (int32_t i = 0; i < nr; ++i) node_row[sub_rank[i]] = i + 1;
 
   int64_t W = len + 1;
-  std::vector<int32_t>& H = *h_storage;
-  H.assign((size_t)(nr + 1) * W, 0);
-  for (int64_t j = 1; j < W; ++j) H[j] = (int32_t)(j * kGap);
+  static thread_local std::vector<int32_t> h32;
+  static thread_local std::vector<int16_t> h16;
+  S* H;
+  if (sizeof(S) == 2) {
+    h16.assign((size_t)(nr + 1) * W, 0);
+    H = (S*)h16.data();
+  } else {
+    h32.assign((size_t)(nr + 1) * W, 0);
+    H = (S*)h32.data();
+  }
+  for (int64_t j = 1; j < W; ++j) H[j] = (S)(j * kGap);
 
   // collect in-mask predecessors per subgraph row
-  std::vector<std::vector<int32_t>> preds(nr);
+  static thread_local std::vector<std::vector<int32_t>> preds;
+  if ((int32_t)preds.size() < nr) preds.resize(nr);
   for (int32_t i = 0; i < nr; ++i) {
     int32_t v = sub_rank[i];
+    preds[i].clear();
     for (int32_t ei : g.in[v]) {
       int32_t t = g.edges[ei].tail;
       if (!use_mask || mask[t]) preds[i].push_back(node_row[t]);
@@ -207,21 +288,42 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
     // first-column init (spoa Initialize, kLinear/kNW)
     int32_t penalty = preds[i].empty() ? 0 : kNegInf;
     for (int32_t p : preds[i])
-      penalty = std::max(penalty, H[(size_t)p * W]);
-    H[(size_t)(i + 1) * W] = penalty + kGap;
+      penalty = std::max(penalty, (int32_t)H[(size_t)p * W]);
+    H[(size_t)(i + 1) * W] = (S)(penalty + kGap);
   }
 
   int32_t max_score = kNegInf;
   int32_t max_i = 0, max_j = 0;
 
-  // per-row substitution profile, reused across predecessor passes
-  std::vector<int32_t>& subv = *sub_storage;
-  subv.resize(W);
+  // ramp for the gap-closure prefix-max scan: ramp[j] = j * (-kGap)
+  static thread_local std::vector<S> ramp16or32;
+  ramp16or32.resize(W);
+  for (int64_t j = 0; j < W; ++j) ramp16or32[j] = (S)(j * (-kGap));
+  const S* ramp = ramp16or32.data();
+
+  // per-fragment substitution profiles, one per DISTINCT graph character
+  // (sequences are raw bytes; typically <= 5 distinct): replaces the
+  // per-ROW profile build (saves an O(W) pass per graph node). Built
+  // lazily the first time a row needs that character.
+  static thread_local std::vector<S> prof_storage;
+  static thread_local std::vector<int16_t> prof_slot;
+  prof_storage.clear();
+  prof_slot.assign(256, -1);
+  auto profile_of = [&](uint8_t c) -> const S* {
+    if (prof_slot[c] < 0) {
+      prof_slot[c] = (int16_t)(prof_storage.size() / W);
+      prof_storage.resize(prof_storage.size() + W);
+      S* pv = prof_storage.data() + (size_t)prof_slot[c] * W;
+      for (int64_t j = 1; j < W; ++j)
+        pv[j] = (S)((c == seq[j - 1]) ? kMatch : kMismatch);
+    }
+    return prof_storage.data() + (size_t)prof_slot[c] * W;
+  };
 
   for (int32_t i = 0; i < nr; ++i) {
     int32_t v = sub_rank[i];
     uint8_t c = g.code[v];
-    int32_t* __restrict__ Hrow = &H[(size_t)(i + 1) * W];
+    S* __restrict__ Hrow = &H[(size_t)(i + 1) * W];
     bool has_out = false;
     if (use_mask) {
       for (int32_t ei : g.out[v])
@@ -230,16 +332,14 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
       has_out = !g.out[v].empty();
     }
 
-    int32_t* sv = subv.data();
-    SubProfile(sv, seq, c, W);
+    const S* sv = profile_of(c);
 
     int32_t pred0 = preds[i].empty() ? 0 : preds[i][0];
-    RowInit(Hrow, &H[(size_t)pred0 * W], sv, W);
+    RowInit<S>(Hrow, &H[(size_t)pred0 * W], sv, W);
     for (size_t p = 1; p < preds[i].size(); ++p)
-      RowUpdate(Hrow, &H[(size_t)preds[i][p] * W], sv, W);
-    for (int64_t j = 1; j < W; ++j)
-      Hrow[j] = std::max(Hrow[j], Hrow[j - 1] + kGap);
-    if (!has_out && Hrow[W - 1] > max_score) {
+      RowUpdate<S>(Hrow, &H[(size_t)preds[i][p] * W], sv, W);
+    GapScan<S>(Hrow, ramp, W);
+    if (!has_out && (int32_t)Hrow[W - 1] > max_score) {
       max_score = Hrow[W - 1];
       max_i = i + 1;
       max_j = (int32_t)(W - 1);
@@ -258,11 +358,11 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
       int32_t v = sub_rank[i - 1];
       int32_t sub = (g.code[v] == seq[j - 1]) ? kMatch : kMismatch;
       int32_t p0 = preds[i - 1].empty() ? 0 : preds[i - 1][0];
-      if (Hij == H[(size_t)p0 * W + j - 1] + sub) {
+      if (Hij == (int32_t)H[(size_t)p0 * W + j - 1] + sub) {
         prev_i = p0; prev_j = j - 1; found = true;
       } else {
         for (size_t p = 1; p < preds[i - 1].size() && !found; ++p) {
-          if (Hij == H[(size_t)preds[i - 1][p] * W + j - 1] + sub) {
+          if (Hij == (int32_t)H[(size_t)preds[i - 1][p] * W + j - 1] + sub) {
             prev_i = preds[i - 1][p]; prev_j = j - 1; found = true;
           }
         }
@@ -270,18 +370,24 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
     }
     if (!found && i != 0) {
       int32_t p0 = preds[i - 1].empty() ? 0 : preds[i - 1][0];
-      if (Hij == H[(size_t)p0 * W + j] + kGap) {
+      if (Hij == (int32_t)H[(size_t)p0 * W + j] + kGap) {
         prev_i = p0; prev_j = j; found = true;
       } else {
         for (size_t p = 1; p < preds[i - 1].size() && !found; ++p) {
-          if (Hij == H[(size_t)preds[i - 1][p] * W + j] + kGap) {
+          if (Hij == (int32_t)H[(size_t)preds[i - 1][p] * W + j] + kGap) {
             prev_i = preds[i - 1][p]; prev_j = j; found = true;
           }
         }
       }
     }
-    if (!found && Hij == H[(size_t)i * W + j - 1] + kGap) {
+    if (!found && j != 0 && Hij == (int32_t)H[(size_t)i * W + j - 1] + kGap) {
       prev_i = i; prev_j = j - 1;
+    }
+    if (prev_i == i && prev_j == j) {
+      // no predecessor reproduces Hij: DP invariant broken (should be
+      // impossible) — drop the alignment instead of spinning
+      alignment->clear();
+      return;
     }
     alignment->push_back({i == prev_i ? -1 : sub_rank[i - 1],
                           j == prev_j ? -1 : j - 1});
@@ -289,6 +395,30 @@ void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
     j = prev_j;
   }
   std::reverse(alignment->begin(), alignment->end());
+}
+
+void AlignToGraph(const Graph& g, const uint8_t* seq, int32_t len,
+                  const std::vector<uint8_t>& mask,
+                  std::vector<AlnStep>* alignment,
+                  std::vector<int32_t>* /*h_storage*/,
+                  std::vector<int32_t>* sub_rank_storage,
+                  std::vector<int32_t>* /*sub_storage*/) {
+  alignment->clear();
+  const bool use_mask = !mask.empty();
+  std::vector<int32_t>& sub_rank = *sub_rank_storage;
+  sub_rank.clear();
+  for (int32_t v : g.rank_to_node) {
+    if (!use_mask || mask[v]) sub_rank.push_back(v);
+  }
+  if (sub_rank.empty() || len == 0) return;
+  // int16 rows when every reachable score fits comfortably: extremes are
+  // bounded by |kGap|*(rows+cols) and kMatch*cols.
+  int64_t bound = (int64_t)(-kGap) * ((int64_t)sub_rank.size() + len + 2);
+  if (bound < 30000) {
+    AlignToGraphT<int16_t>(g, seq, len, mask, alignment, sub_rank);
+  } else {
+    AlignToGraphT<int32_t>(g, seq, len, mask, alignment, sub_rank);
+  }
 }
 
 // spoa::Graph::AddAlignment semantics (graph.cpp:155-246).

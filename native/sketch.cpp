@@ -1,0 +1,222 @@
+// Native host batch sketcher: rolling canonical 2-bit k-mers + bit-exact
+// MurmurHash3 threshold selection over many reads, OpenMP across reads.
+//
+// This is the HOST production twin of the device sketch kernel
+// (metamdbg_tpu/kernels/sketch.py) — used while the asynchronous device
+// claim is pending (utils/devwarm.py) and on backend-less machines. It
+// replays the reference's hot loop (KmerModel::iterate + MinimizerParser,
+// src/utils/kmer/Kmer.hpp:458-627,1339-1456) at C++ speed; outputs are
+// bit-identical to the numpy golden path (sketch/minimizers.py), asserted
+// by tests/test_sketch.py.
+//
+// Semantics (cited against the reference):
+// - base codes 0..3 (A,C,T,G per (ascii>>1)&3); >=4 marks a bad char whose
+//   windows are invalid (value 2^64-1, never selected; Kmer.hpp:567,580).
+// - canonical = min(fwd, revcomp), ties -> reverse, direction 1 when the
+//   reverse slot is chosen (KmerCanonical::updateChoice, Kmer.hpp:427).
+// - selected iff double(MurmurHash3_x64_128(value, 8, seed=42).low64) <
+//   double(float(density)) * double(2^64-1) (Kmer.hpp:1421,1434).
+// - one window trimmed per read end (_trimBps, Kmer.hpp:1362,1395).
+// - optional sorted u32 blacklist on the truncated minimizer value
+//   (repetitiveMinimizers.bin, ReadSelection.hpp:497-561).
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+inline uint64_t Rotl64(uint64_t x, int8_t r) {
+  return (x << r) | (x >> (64 - r));
+}
+
+inline uint64_t Fmix64(uint64_t k) {
+  k ^= k >> 33;
+  k *= 0xff51afd7ed558ccdULL;
+  k ^= k >> 33;
+  k *= 0xc4ceb9fe1a85ec53ULL;
+  k ^= k >> 33;
+  return k;
+}
+
+// MurmurHash3_x64_128 low word for an 8-byte little-endian key
+// (MurmurHash3.cpp:246-322 specialized to len=8: zero blocks, 8-byte tail).
+inline uint64_t Murmur64U64Key(uint64_t key, uint32_t seed) {
+  uint64_t h1 = seed, h2 = seed;
+  uint64_t k1 = key;
+  k1 *= 0x87c37b91114253d5ULL;
+  k1 = Rotl64(k1, 31);
+  k1 *= 0x4cf5ad432745937fULL;
+  h1 ^= k1;
+  h1 ^= 8;
+  h2 ^= 8;
+  h1 += h2;
+  h2 += h1;
+  h1 = Fmix64(h1);
+  h2 = Fmix64(h2);
+  h1 += h2;  // h2 += h1 dropped: only the low word is used
+  return h1;
+}
+
+struct ReadResult {
+  std::vector<uint32_t> vals;
+  std::vector<uint32_t> pos;
+  std::vector<uint8_t> dirs;
+};
+
+void SketchOne(const uint8_t* codes, int64_t n, int32_t l, double bound,
+               const uint32_t* rep, int64_t n_rep, int32_t trim,
+               ReadResult* out) {
+  int64_t nk = n - l + 1;
+  if (nk <= 0) return;
+  const uint64_t mask =
+      (2 * l < 64) ? ((1ULL << (2 * l)) - 1) : ~0ULL;
+  uint64_t fwd = 0, rev = 0;
+  int64_t last_bad = -1;
+  const int shift_hi = 2 * (l - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t c = codes[i];
+    bool bad = c >= 4;
+    uint64_t cc = bad ? 0 : c;
+    fwd = ((fwd << 2) | cc) & mask;
+    rev = (rev >> 2) | ((2ULL ^ cc) << shift_hi);
+    if (bad) last_bad = i;
+    int64_t w = i - l + 1;
+    if (w < 0) continue;
+    if (last_bad >= w) continue;          // invalid window, never selected
+    if (w < trim || w >= nk - trim) continue;
+    bool dir_rev = !(fwd < rev);          // ties -> reverse slot
+    uint64_t value = dir_rev ? rev : fwd;
+    uint64_t h = Murmur64U64Key(value, 42);
+    if (!((double)h < bound)) continue;
+    uint32_t v32 = (uint32_t)value;       // MinimizerType truncation
+    if (n_rep) {
+      const uint32_t* it = std::lower_bound(rep, rep + n_rep, v32);
+      if (it != rep + n_rep && *it == v32) continue;
+    }
+    out->vals.push_back(v32);
+    out->pos.push_back((uint32_t)w);
+    out->dirs.push_back(dir_rev ? 1 : 0);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// codes: concatenated reads; offsets[n_reads+1] delimits them. Outputs are
+// compacted in read order; out_read_offsets[n_reads+1] delimits per read.
+// Returns total selected, or -(needed) when cap is too small (retry with
+// the reported capacity).
+int64_t sketch_reads(const uint8_t* codes, const int64_t* offsets,
+                     int32_t n_reads, int32_t l, double bound,
+                     const uint32_t* repetitive, int64_t n_repetitive,
+                     int32_t trim, uint32_t* out_vals, uint32_t* out_pos,
+                     uint8_t* out_dirs, int64_t* out_read_offsets,
+                     int64_t cap, int32_t n_threads) {
+  std::vector<ReadResult> results(n_reads);
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(dynamic, 16)
+#endif
+  for (int32_t r = 0; r < n_reads; ++r) {
+    SketchOne(codes + offsets[r], offsets[r + 1] - offsets[r], l, bound,
+              repetitive, n_repetitive, trim, &results[r]);
+  }
+  int64_t total = 0;
+  out_read_offsets[0] = 0;
+  for (int32_t r = 0; r < n_reads; ++r) {
+    total += (int64_t)results[r].vals.size();
+    out_read_offsets[r + 1] = total;
+  }
+  if (total > cap) return -total;
+  int64_t o = 0;
+  for (int32_t r = 0; r < n_reads; ++r) {
+    const ReadResult& rr = results[r];
+    std::copy(rr.vals.begin(), rr.vals.end(), out_vals + o);
+    std::copy(rr.pos.begin(), rr.pos.end(), out_pos + o);
+    std::copy(rr.dirs.begin(), rr.dirs.end(), out_dirs + o);
+    o += (int64_t)rr.vals.size();
+  }
+  return total;
+}
+
+// Anchor-chaining DP, batch over groups (the host production twin of
+// kernels/chain_jax.chain_contig_device; semantics of
+// ReadVsContigMapper::processAnchors, src/toBasespace/
+// ReadVsContigMapper.hpp:820-923, as re-expressed by
+// basespace/contig_mapper._chain — bit-identical, tests/test_basespace.py).
+// Anchors are concatenated; offsets[n_groups+1] delimits groups. Outputs:
+// per-anchor parent (group-local index, -1 = chain root) and per-group
+// best index (-1 when no positive-score chain) + float32 best score.
+int64_t chain_batch(const int64_t* ref_pos, const int64_t* q_pos,
+                    const int64_t* q_bp, const uint8_t* is_rev,
+                    const int64_t* offsets, int32_t n_groups,
+                    double avg_dist, int32_t band, float w, int64_t max_gap,
+                    int64_t max_span_bp, float* best_scores,
+                    int32_t* best_idx, int32_t* parents, int32_t n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(dynamic, 8)
+#endif
+  for (int32_t gidx = 0; gidx < n_groups; ++gidx) {
+    int64_t a = offsets[gidx], b = offsets[gidx + 1];
+    int64_t n = b - a;
+    const int64_t* rp = ref_pos + a;
+    const int64_t* qp = q_pos + a;
+    const int64_t* qb = q_bp + a;
+    const uint8_t* rv = is_rev + a;
+    int32_t* par = parents + a;
+    std::vector<float> scores(n);
+    for (int64_t i = 0; i < n; ++i) {
+      float best_score = 0.0f;
+      int64_t best_prev = i;
+      for (int64_t j = i - 1; j >= 0; --j) {
+        if (i - j > band) break;
+        if (rv[i] != rv[j]) continue;
+        if (rp[i] == rp[j] || qp[i] == qp[j]) continue;
+        int64_t d_r = rp[i] - rp[j];
+        if ((double)d_r * avg_dist > (double)max_span_bp) continue;
+        if (d_r <= 0) continue;
+        int64_t d_q = rv[i] ? (qp[j] - qp[i]) : (qp[i] - qp[j]);
+        int64_t gap = d_r - d_q;
+        if (gap < 0) gap = -gap;
+        if (gap > max_gap) continue;
+        if (rv[i]) {
+          if (qb[j] - qb[i] > max_span_bp) continue;
+          if (qp[i] > qp[j]) continue;
+        } else {
+          if (qb[i] - qb[j] > max_span_bp) continue;
+          if (qp[i] < qp[j]) continue;
+        }
+        float new_score = scores[j] + (w - (float)gap);
+        if (new_score > best_score) {
+          best_score = new_score;
+          best_prev = j;
+        }
+      }
+      if (best_prev != i) {
+        scores[i] = best_score;
+        par[i] = (int32_t)best_prev;
+      } else {
+        scores[i] = w;
+        par[i] = -1;
+      }
+    }
+    int64_t bi = -1;
+    float ms = 0.0f;
+    for (int64_t i = 0; i < n; ++i) {
+      if (scores[i] > ms) {
+        ms = scores[i];
+        bi = i;
+      }
+    }
+    best_idx[gidx] = (int32_t)bi;
+    best_scores[gidx] = ms;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -165,3 +165,39 @@ def test_trim_consensus_keeps_covered_core():
     cov[-3:] = 1
     out = polisher.trim_consensus(seq, cov, 20, is_last_window=False)
     assert out == b"A" * 492
+
+
+def test_native_chain_matches_python():
+    """native chain_batch must reproduce contig_mapper._chain exactly."""
+    from metamdbg_tpu.basespace import contig_mapper as cm
+    from metamdbg_tpu.sketch import native_sketch
+    assert native_sketch.available()
+    rng = np.random.default_rng(9)
+    groups, expected = [], []
+    avg_dist = 200.0
+    for _ in range(200):
+        n = int(rng.integers(2, 120))
+        ref = np.sort(rng.integers(0, 400, n)).astype(np.int64)
+        q = rng.integers(0, 300, n).astype(np.int64)
+        rev = rng.random(n) < 0.3
+        pos_bp = np.sort(rng.integers(0, 60000, 301)).astype(np.int64)
+        order = np.lexsort((q, ref))
+        ref, q, rev = ref[order], q[order], rev[order]
+        chained = cm._chain((ref, q, rev), pos_bp, avg_dist)
+        expected.append(chained[1] if chained else None)
+        groups.append((ref, q, pos_bp[q], rev))
+    best_idx, parents = native_sketch.chain_batch_native(
+        groups, avg_dist, cm.CHAIN_BAND, float(cm.CHAIN_W), 100, 5000)
+    for gi in range(len(groups)):
+        b = int(best_idx[gi])
+        interval = None
+        if b >= 0:
+            interval = []
+            idx = b
+            while idx != -1:
+                interval.append(idx)
+                idx = int(parents[gi][idx])
+            interval.reverse()
+            if len(interval) < 2:
+                interval = None
+        assert interval == expected[gi], gi

@@ -81,3 +81,31 @@ def test_purge_palindrome_removes_mirror():
     # no palindrome: untouched
     m2 = np.array([1, 2, 3, 4, 5], dtype=np.uint32)
     np.testing.assert_array_equal(palindrome.purge_palindrome(m2, 3, 10), m2)
+
+
+def test_native_sketch_matches_numpy():
+    """native/sketch.cpp must be bit-identical to the numpy golden path,
+    including bad chars, trim, blacklist and the density float semantics."""
+    from metamdbg_tpu.sketch import native_sketch
+    from metamdbg_tpu.sketch import minimizers as mini
+    from metamdbg_tpu.sketch import kmers as km
+    assert native_sketch.available(), "native sketcher must build"
+    rng = np.random.default_rng(5)
+    codes_list, bad_list = [], []
+    for i in range(50):
+        n = int(rng.integers(5, 4000))
+        codes = rng.integers(0, 4, size=n).astype(np.uint8)
+        bad = rng.random(n) < 0.01
+        codes_list.append(codes)
+        bad_list.append(bad)
+    rep = np.sort(rng.integers(0, 1 << 30, size=64).astype(np.uint32))
+    for density in (0.005, 0.025, 0.1):
+        res = native_sketch.sketch_batch_native(codes_list, bad_list, 15,
+                                                density, rep)
+        for i in range(len(codes_list)):
+            mv, mp, md = mini.select_minimizers_numpy(
+                codes_list[i], bad_list[i], 15, density, rep)
+            nv, np_, nd = res[i]
+            assert np.array_equal(mv, nv)
+            assert np.array_equal(mp.astype(np.uint32), np_)
+            assert np.array_equal(md, nd)
