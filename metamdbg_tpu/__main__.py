@@ -42,6 +42,8 @@ def main(argv=None):
     gfa.add_argument("--output", default=None)
     gfa.add_argument("--coverage", action="store_true",
                      help="recompute unitig coverage")
+    gfa.add_argument("--readpath", action="store_true",
+                     help="generate path of reads in the assembly graph")
 
     mp = sub.add_parser("map", help="color an assembly graph by references")
     mp.add_argument("out_dir", help="assembly output dir (with tmp/)")
@@ -91,7 +93,7 @@ def main(argv=None):
     elif args.command == "gfa":
         from metamdbg_tpu.pipeline.gfa import run_gfa
         run_gfa(args.out_dir, args.k, args.output,
-                recompute_coverage=args.coverage)
+                recompute_coverage=args.coverage, read_path=args.readpath)
     elif args.command == "map":
         from metamdbg_tpu.pipeline.mapref import run_map
         run_map(args.out_dir, args.k, args.references, args.output_prefix)

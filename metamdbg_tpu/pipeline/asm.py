@@ -242,9 +242,42 @@ class Pipeline:
             k += 1
 
         self._run_final_stages(params)
+        if not os.environ.get("METAMDBG_TPU_KEEP_TMP"):
+            self._clean_tmp_files()
 
         dt = time.time() - t0
         self._log_final_summary(dt)
+
+    def _clean_tmp_files(self):
+        """End-of-run tmp cleanup (cleanTmpAssemblyFiles + cleanTmpFiles,
+        AssemblyPipeline.hpp:427-484,1120,388; skipped under DEBUG there,
+        under METAMDBG_TPU_KEEP_TMP here). read_data_init.txt, the pass_k
+        snapshots, contig_data_final.bin and parameters survive — the gfa
+        subcommand needs them."""
+        import shutil
+        names = [
+            "kminmerData_abundance.txt", "kminmerData_min.txt",
+            "kminmerData_abundance_prev.txt",
+            "unitigGraph.nodes.refined_abundances.bin", "unitig_data.txt",
+            "contigs.nodepath", "assembly_graph.gfa.unitigs.nodepath",
+            "unitigGraph.nodes.bin", "unitigGraph.nodes.abundances.bin",
+            "unitigGraph.edges.successors.bin", "unitigGraph.stats.bin",
+            "unitigGraph_prev.nodes.bin",
+            "unitigGraph_prev.nodes.abundances.bin",
+            "unitigGraph_prev.edges.successors.bin",
+            "unitigGraph_prev.stats.bin", "read_data_corrected.txt",
+            "contig_data_init.txt", "contig_data_init_small.txt",
+            "contig_data_init_small.txt.nooverlaps",
+            "contig_data_init_small.txt.norepeats",
+            "readsVsContigsAlignments.bin",
+        ]
+        for name in names:
+            path = os.path.join(self.tmp_dir, name)
+            if os.path.exists(path):
+                os.remove(path)
+        for dirname in ("filter", "_polish_readPartitions"):
+            shutil.rmtree(os.path.join(self.tmp_dir, dirname),
+                          ignore_errors=True)
 
     def _save_pass_snapshot(self, k: int):
         """pass_k<k>/ snapshot for the gfa subcommand

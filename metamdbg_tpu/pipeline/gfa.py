@@ -141,8 +141,53 @@ def _generate_contig_path(tmp_dir: str, out_prefix: str, params,
     return path_file, name_file
 
 
+def _generate_read_path(tmp_dir: str, out_prefix: str, params,
+                        unitig_records, utg_names: list):
+    """Path of each read through the assembly graph
+    (GenerateGfa::generateReadPath, GenerateGfa.hpp:796-876 — dormant in
+    the reference v1.4 binary, implemented working here): walk each read's
+    k-min-mers, map to graph unitigs, dedupe consecutive repeats."""
+    from ..count.kminmers import extract_kminmers
+    from ..io import records
+
+    read_data = os.path.join(tmp_dir, "read_data_init.txt")
+    if not os.path.exists(read_data):
+        log.info("Can't find read data at location: %s", read_data)
+        log.info("Skip read path")
+        return None
+
+    k = params.kminmer_size
+    vec_to_unitig: dict = {}
+    for i, rec in enumerate(unitig_records):
+        windows, _ = extract_kminmers(np.asarray(rec.minimizers, np.uint32), k)
+        for row in windows:
+            vec_to_unitig[row.tobytes()] = i
+
+    path_file = out_prefix + "_readPath.tsv"
+    with open(path_file, "w") as pf:
+        for rec in records.read_read_data(read_data, with_quality=True):
+            windows, _ = extract_kminmers(np.asarray(rec.minimizers,
+                                                     np.uint32), k)
+            prev = None
+            path = []
+            for row in windows:
+                u = vec_to_unitig.get(row.tobytes())
+                if u is None:
+                    continue
+                if u != prev:
+                    prev = u
+                    path.append(u)
+            if not path:
+                continue
+            pf.write(f"read{rec.index}")
+            for u in path:
+                pf.write(f"\t{utg_names[u]}")
+            pf.write("\n")
+    return path_file
+
+
 def run_gfa(out_dir: str, k: int, output_path: str | None = None,
-            recompute_coverage: bool = False):
+            recompute_coverage: bool = False, read_path: bool = False):
     from ..io import records
     from ..io.records import load_repetitive_minimizers
     from ..basespace import postprocess, reconstruct, tiling
@@ -267,10 +312,14 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None,
                  sorted(utg_order.items(), key=lambda kv: kv[1])]
     paths = _generate_contig_path(tmp_dir, out_prefix, params, unitig_records,
                                   utg_names)
+    rpath = _generate_read_path(tmp_dir, out_prefix, params, unitig_records,
+                                utg_names) if read_path else None
 
     log.info("Assembly graph: %s", output_path)
     log.info("Assembly graph (without sequences): %s", noseq_path)
     if paths:
         log.info("Contig path: %s", paths[0])
+    if rpath:
+        log.info("Read path: %s", rpath)
     log.info("Done!")
     return output_path

@@ -44,10 +44,15 @@ def configure_jax(jax=None):
     try:
         if jax is None:
             import jax
+        # one cache per platform string: TPU-host compiles carry machine
+        # pseudo-features (prefer-no-scatter/gather) that XLA:CPU warns
+        # about (and may SIGILL on) when loaded into a pure-CPU process
+        platform = (os.environ.get("JAX_PLATFORMS") or "default").replace(
+            ",", "_")
         cache_dir = os.environ.get(
             "METAMDBG_TPU_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache",
-                         "metamdbg_tpu", "jaxcache"))
+                         "metamdbg_tpu", f"jaxcache-{platform}"))
         os.makedirs(cache_dir, exist_ok=True)
         if jax.config.jax_compilation_cache_dir != cache_dir:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -99,3 +99,36 @@ def make_test_fastq(path: str, genome_len: int = 100_000, coverage: float = 20,
     write_fastq(path, sample_reads(genome, coverage, mean_length, error_rate,
                                    seed=seed + 1))
     return genome
+
+
+def make_metagenome(n_genomes=5, sizes=None, repeat_len=5000, seed=20):
+    """Synthetic metagenome: genomes share a mutated repeat family
+    (inserted 2-3x each), mimicking inter-genome repeats. Returns list of
+    genomes (np.uint8 ascii)."""
+    rng = np.random.default_rng(seed)
+    if sizes is None:
+        sizes = [600_000, 800_000, 1_000_000, 1_200_000, 700_000][:n_genomes]
+    repeat = BASES[rng.integers(0, 4, size=repeat_len)]
+    genomes = []
+    for i, size in enumerate(sizes):
+        g = BASES[rng.integers(0, 4, size=size)]
+        n_copies = int(rng.integers(2, 4))
+        for _ in range(n_copies):
+            rep = mutate(repeat.copy(), rng, 0.02)  # ~98% identity copies
+            pos = int(rng.integers(0, size - rep.shape[0]))
+            g[pos:pos + rep.shape[0]] = rep[:g[pos:pos + rep.shape[0]].shape[0]]
+        genomes.append(g)
+    return genomes
+
+
+def metagenome_reads(genomes, coverages, mean_length=10000, error_rate=0.001,
+                     seed=21, ins_rate=0.0, del_rate=0.0, mean_quality=30):
+    """Yields reads from each genome at its own coverage (uneven profile)."""
+    rid = 0
+    for gi, (g, cov) in enumerate(zip(genomes, coverages)):
+        for header, seq, qual in sample_reads(
+                g, cov, mean_length, error_rate, seed=seed + gi,
+                circular=True, mean_quality=mean_quality, ins_rate=ins_rate,
+                del_rate=del_rate):
+            yield f"g{gi}_{rid}", seq, qual
+            rid += 1

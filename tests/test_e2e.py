@@ -79,14 +79,22 @@ def test_asm_resume_from_checkpoints(tmp_path):
     datagen.make_test_fastq(fq, genome_len=40_000, coverage=15,
                             mean_length=6000, error_rate=0.002, seed=10)
     out = str(tmp_path / "out")
-    main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
-    first = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
-    # delete the final artifact and resume: checkpointed stages are skipped
-    os.remove(os.path.join(out, "contigs.fasta.gz"))
-    os.remove(os.path.join(out, "tmp", "checkpoints", "toBasespace.checkpoint"))
-    main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
-    second = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
-    assert first == second
+    # keep tmp on the first run (like an interrupted run would): resume
+    # needs the inter-stage artifacts that end-of-run cleanup removes
+    os.environ["METAMDBG_TPU_KEEP_TMP"] = "1"
+    try:
+        main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
+        first = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
+        # delete the final artifact and resume: checkpointed stages are
+        # skipped
+        os.remove(os.path.join(out, "contigs.fasta.gz"))
+        os.remove(os.path.join(out, "tmp", "checkpoints",
+                               "toBasespace.checkpoint"))
+        main(["asm", "--out-dir", out, "--in-hifi", fq, "--max-k", "8"])
+        second = _read_contigs(os.path.join(out, "contigs.fasta.gz"))
+        assert first == second
+    finally:
+        os.environ.pop("METAMDBG_TPU_KEEP_TMP", None)
 
 
 def test_gfa_and_map_subcommands(tmp_path):
