@@ -26,7 +26,12 @@ import time
 import numpy as np
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
-REF_BIN = os.path.join(ROOT, ".refbuild", "src", "build", "bin", "metaMDBG")
+_REF_BIN_CANDIDATES = (
+    os.path.join(ROOT, ".refbuild", "build", "bin", "metaMDBG"),
+    os.path.join(ROOT, ".refbuild", "src", "build", "bin", "metaMDBG"),
+)
+REF_BIN = next((p for p in _REF_BIN_CANDIDATES if os.path.exists(p)),
+               _REF_BIN_CANDIDATES[0])
 
 GENOME_LEN = 1_000_000
 COVERAGE = 30

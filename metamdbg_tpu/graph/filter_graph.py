@@ -56,6 +56,66 @@ class FilterGraph:
         self.spacing_mean = np.float32(spacing_mean)
         self.kminmer_length = np.float32(kminmer_length)
         self.unitigs: list[FilterNode | None] = []
+        # Vectorized mirrors of the per-node scalars the simplification
+        # scans need (abundance/nb_minimizers/alive/successor counts).
+        # None until sync_arrays() is called; the surgery methods keep them
+        # in sync once built, so ProgressiveAbundanceFilter's full-graph
+        # scans are numpy ops instead of per-node Python loops.
+        self._alive: np.ndarray | None = None
+        self._ab: np.ndarray | None = None
+        self._nbmin: np.ndarray | None = None
+        self._nsucc: np.ndarray | None = None
+
+    # -- vectorized mirrors --------------------------------------------------
+    def sync_arrays(self):
+        """(Re)build the numpy mirrors from the per-node objects."""
+        n = len(self.unitigs)
+        alive = np.zeros(n, bool)
+        ab = np.zeros(n, np.float32)
+        nbmin = np.zeros(n, np.int64)
+        nsucc = np.zeros(2 * n, np.int32)
+        for i, u in enumerate(self.unitigs):
+            if u is None:
+                continue
+            alive[i] = True
+            ab[i] = u.abundance
+            nbmin[i] = u.nb_minimizers
+            nsucc[2 * i] = len(u.succ_fwd)
+            nsucc[2 * i + 1] = len(u.succ_rev)
+        self._alive, self._ab = alive, ab
+        self._nbmin, self._nsucc = nbmin, nsucc
+
+    def alive_array(self) -> np.ndarray:
+        """Alive unitig names as an int64 array (requires sync_arrays)."""
+        return np.nonzero(self._alive)[0]
+
+    def _set_succ(self, index: int, new_list: list):
+        """Replace successors(index) in place, updating the count mirror."""
+        node = self.unitigs[index // 2]
+        lst = node.succ_rev if index % 2 else node.succ_fwd
+        lst[:] = new_list
+        if self._nsucc is not None:
+            self._nsucc[index] = len(lst)
+
+    def erase_succ(self, index: int, value: int):
+        """Remove every `value` from successors(index) (order-preserving)."""
+        node = self.unitigs[index // 2]
+        lst = node.succ_rev if index % 2 else node.succ_fwd
+        self._set_succ(index, [x for x in lst if x != value])
+
+    def clear_succ(self, name: int):
+        node = self.unitigs[name]
+        node.succ_fwd = []
+        node.succ_rev = []
+        if self._nsucc is not None:
+            self._nsucc[2 * name] = 0
+            self._nsucc[2 * name + 1] = 0
+
+    def _mirror_kill(self, name: int):
+        if self._alive is not None:
+            self._alive[name] = False
+            self._nsucc[2 * name] = 0
+            self._nsucc[2 * name + 1] = 0
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -100,10 +160,9 @@ class FilterGraph:
             index = node.name * 2 + (1 if is_rev else 0)
             to_remove = rc(index)
             for succ in self.successors(index):
-                snode = self.unitigs[succ // 2]
-                lst = snode.succ_fwd if succ % 2 else snode.succ_rev
-                lst[:] = [x for x in lst if x != to_remove]
+                self.erase_succ(rc(succ), to_remove)
         self.unitigs[node.name] = None
+        self._mirror_kill(node.name)
 
     def merge_node(self, index1: int, index2: int):
         """Graph.hpp:1689-1989 mergeNode: oriented unitig index1 absorbs index2."""
@@ -144,12 +203,13 @@ class FilterGraph:
             lst[:] = [replacement if x == to_replace else x for x in lst]
 
         succ2 = list(self.successors(index2))
-        if rev1:
-            u1.succ_rev = succ2
-        else:
-            u1.succ_fwd = succ2
+        self._set_succ(index1, succ2)
 
         self.unitigs[name2] = None
+        self._mirror_kill(name2)
+        if self._alive is not None:
+            self._ab[name1] = u1.abundance
+            self._nbmin[name1] = u1.nb_minimizers
 
     def recompact_index(self, index: int):
         """Graph.hpp:1438-1485: merge forward while single succ/pred chain."""

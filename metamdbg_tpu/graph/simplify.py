@@ -46,10 +46,9 @@ class ProgressiveAbundanceFilter:
     # ------------------------------------------------------------------
     def execute(self):
         g = self.g
-        max_abundance = F32(0.0)
-        for node in g.unitigs:
-            if node is not None and node.abundance > max_abundance:
-                max_abundance = node.abundance
+        g.sync_arrays()
+        ab_alive = g._ab[g._alive]
+        max_abundance = F32(ab_alive.max()) if ab_alive.size else F32(0.0)
         max_abundance = min(max_abundance, F32(10000.0))
 
         current_cutoff = F32(0.0)
@@ -79,7 +78,7 @@ class ProgressiveAbundanceFilter:
         is_modification = False
         while True:
             is_mod_sub = False
-            self.valid_nodes = g.alive_names()
+            self.valid_nodes = g.alive_array()
 
             if self.remove_bubble:
                 if self._remove_superbubbles(max_bubble):
@@ -97,15 +96,14 @@ class ProgressiveAbundanceFilter:
     # -- superbubbles ---------------------------------------------------
     def _remove_superbubbles(self, max_length) -> bool:
         g = self.g
-        queue = []
-        for name in self.valid_nodes:
-            node = g.unitigs[name]
-            if node is None:
-                continue
-            if g.nb_successors(2 * name) > 1:
-                queue.append(2 * name)
-            if g.nb_successors(2 * name + 1) > 1:
-                queue.append(2 * name + 1)
+        # Vectorized source scan: per alive name in order, fwd then rev
+        # orientation with >1 successors (row-major flatten keeps that order).
+        valid = self.valid_nodes
+        valid = valid[g._alive[valid]]
+        idx2 = 2 * valid
+        pair = np.stack([idx2, idx2 + 1], axis=1)
+        mask = np.stack([g._nsucc[idx2] > 1, g._nsucc[idx2 + 1] > 1], axis=1)
+        queue = pair[mask].tolist()
 
         is_unitig_bubble: set = set()
         bubbles = []
@@ -226,6 +224,15 @@ class ProgressiveAbundanceFilter:
         nodes = list(interior) + [source]
         base = min(float(g.unitigs[source // 2].abundance),
                    float(g.unitigs[exit_idx // 2].abundance))
+        absum_cache: dict = {}
+
+        def absum(name: int) -> int:
+            s = absum_cache.get(name)
+            if s is None:
+                s = int(g.unitigs[name].abundances.sum(dtype=np.int64))
+                absum_cache[name] = s
+            return s
+
         keep: set = set()
         for cutoff in (1.0, 0.75, 0.5, 0.25, 0.0):
             min_ab = F32(base * cutoff)
@@ -250,7 +257,7 @@ class ProgressiveAbundanceFilter:
                             continue
                         if v not in dist:
                             dist[v] = 0  # operator[] default
-                        w = -int(g.unitigs[v // 2].abundances.sum(dtype=np.int64))
+                        w = -absum(v // 2)
                         nd = dist[u] + w
                         if dist[v] is None or nd < dist[v]:
                             parent[v] = u
@@ -300,19 +307,45 @@ class ProgressiveAbundanceFilter:
         g = self.g
         # std::set<TipData, TipComparator2>: nbMinimizers asc, abundance asc,
         # startNode (oriented tip index) DESC; dedup on full key.
-        queue: set = set()
-        for name in self.valid_nodes:
-            node = g.unitigs[name]
-            tip_idx = self._tip_index(node, max_length)
-            if tip_idx is not None:
-                queue.add((node.nb_minimizers, float(node.abundance),
-                           -tip_idx, node.name))
+        # Vectorized candidate scan (same predicate as _tip_index).
+        valid = self.valid_nodes
+        valid = valid[g._alive[valid]]
+        nbmin = g._nbmin[valid]
+        lengths = ((nbmin - 1).astype(np.float32)
+                   * g.spacing_mean).astype(np.int64)
+        ok = lengths <= max_length
+        v = valid[ok]
+        nb = nbmin[ok]
+        nf = g._nsucc[2 * v]
+        nr = g._nsucc[2 * v + 1]
+        tip_f = (nf == 0) & (nr > 0)
+        tip_r = (nr == 0) & (nf > 0)
+        tip_idx_arr = np.where(tip_f, 2 * v,
+                               np.where(tip_r, 2 * v + 1, -1))
+        sel = tip_idx_arr >= 0
+        members: set = {
+            (int(n), float(a), -int(t), int(name))
+            for n, a, t, name in zip(nb[sel], g._ab[v[sel]],
+                                     tip_idx_arr[sel], v[sel])
+        }
+        # min-pop over a std::set == heap + lazy membership (min(queue) per
+        # pop was O(|queue|) and dominated whole-graph simplification).
+        import heapq
+        heap = list(members)
+        heapq.heapify(heap)
+
+        def queue_add(key):
+            if key not in members:
+                members.add(key)
+                heapq.heappush(heap, key)
 
         is_modification = False
         nb_removed = 0
-        while queue:
-            key = min(queue)
-            queue.discard(key)
+        while members:
+            key = heapq.heappop(heap)
+            if key not in members:
+                continue
+            members.discard(key)
             name = key[3]
             node = g.unitigs[name]
             if node is None:
@@ -328,8 +361,7 @@ class ProgressiveAbundanceFilter:
                 pnode = g.unitigs[p // 2]
                 if pnode is None:
                     continue
-                lst = pnode.succ_rev if p % 2 else pnode.succ_fwd
-                lst[:] = [x for x in lst if x != tip_idx]
+                g.erase_succ(p, tip_idx)
             for p in preds:
                 pnode = g.unitigs[p // 2]
                 if pnode is None:
@@ -337,10 +369,9 @@ class ProgressiveAbundanceFilter:
                 g.recompact_index(p)
                 tip2 = self._tip_index(pnode, max_length)
                 if tip2 is not None:
-                    queue.add((pnode.nb_minimizers, float(pnode.abundance),
+                    queue_add((pnode.nb_minimizers, float(pnode.abundance),
                                -tip2, pnode.name))
-            node.succ_fwd = []
-            node.succ_rev = []
+            g.clear_succ(name)
         return is_modification
 
     # -- abundance cutoff ------------------------------------------------
@@ -351,14 +382,17 @@ class ProgressiveAbundanceFilter:
         t = F32(1.1)
         current_cutoff = min(t, F32(max_abundance))
 
+        valid = np.asarray(self.valid_nodes, np.int64)
         while t < max_abundance:
             current_cutoff = t
             recompact: set = set()
-            for name in self.valid_nodes:
+            # Vectorized sub-cutoff scan; removals within a pass only kill
+            # the candidate itself and abundances are static until the
+            # deferred recompaction below, so the precomputed set is exact.
+            cand_mask = g._alive[valid] & (g._ab[valid] < t)
+            for name in valid[cand_mask].tolist():
                 node = g.unitigs[name]
                 if node is None:
-                    continue
-                if node.abundance >= t:
                     continue
                 index = 2 * name
                 preds = g.predecessors(index)

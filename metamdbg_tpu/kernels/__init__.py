@@ -1,5 +1,5 @@
 """Device kernels (JAX/XLA). Importing this package enables the persistent
-XLA compilation cache: the sketch/count/consensus kernels compile once per
+XLA compilation cache: the sketch/count/chain kernels compile once per
 machine (minutes over a remote-tunnel device) and reload in milliseconds on
 every later pipeline run."""
 

@@ -2,9 +2,9 @@
 
 The reference has no distributed runtime (OpenMP + disk partitions only,
 SURVEY §2.11); here scale-out is a JAX device mesh: data-parallel read
-batches, hash-routed sharded count tables (count_table.py), mesh-sharded
-consensus voting (consensus_sharded.py). `production_mesh()` is the single
-gate the pipeline uses to decide whether a stage runs its mesh path.
+batches and hash-routed sharded count tables (count_table.py).
+`production_mesh()` is the single gate the pipeline uses to decide
+whether a stage runs its mesh path.
 """
 
 import logging

@@ -11,12 +11,24 @@ import subprocess
 
 REF_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
                                         ".refbuild"))
-REF_BIN = os.path.join(REF_ROOT, "src", "build", "bin", "metaMDBG")
+# The binary location depends on how the tree was configured: an in-src
+# configure leaves it under src/build/bin, the harness's own out-of-src
+# cmake build puts it under build/bin.
+_REF_BIN_CANDIDATES = (
+    os.path.join(REF_ROOT, "build", "bin", "metaMDBG"),
+    os.path.join(REF_ROOT, "src", "build", "bin", "metaMDBG"),
+)
+REF_BIN = _REF_BIN_CANDIDATES[0]
 REF_SRC = "/root/reference"
 
 
 def ref_available() -> bool:
-    return os.path.exists(REF_BIN)
+    global REF_BIN
+    for cand in _REF_BIN_CANDIDATES:
+        if os.path.exists(cand):
+            REF_BIN = cand
+            return True
+    return False
 
 
 def require_reference():
