@@ -75,7 +75,8 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
              len(contigs), len(alignments))
     partitionner = partition_mod.Partitionner(contigs, alignments, avg_dist)
     partition_mod.write_read_partitions(
-        partitionner, fastq.iter_reads(read_paths), partition_dir,
+        partitionner, fastq.iter_reads(read_paths, need_headers=False),
+        partition_dir,
         use_qual=True)
     partition_mod.write_contig_partitions(partitionner, contigs,
                                           partition_dir)

@@ -88,7 +88,7 @@ def sketch_high_density_reads(input_paths, params: records.Parameters,
     ReadSelection's exclusive end)."""
     out = []
     l = params.minimizer_size
-    for read in fastq.iter_reads(input_paths):
+    for read in fastq.iter_reads(input_paths, need_headers=False):
         seq_rle, rle_pos = _rle.rle_encode(read.seq,
                                            params.use_homopolymer_compression)
         codes, bad = _kmers.base_codes(seq_rle)

@@ -114,18 +114,109 @@ def count_unique_rows(rows: np.ndarray):
     return s[starts], counts
 
 
-def count_kminmers(reads: list, k: int, min_abundance: int = 0):
+def count_kminmers(reads: list, k: int, min_abundance: int = 0,
+                   max_table_bytes: int | None = None):
     """First-pass counting + rescue. Returns a dict with:
 
     - 'solid_rows', 'solid_counts': abundance>1 (>= min_abundance) kminmers
     - 'rescued_rows': abundance-1 kminmers rescued at count 1 (deduplicated)
     - 'all_rows', 'all_counts': the node set of the graph (solid + rescued)
       with per-node abundance (rescued -> 1)
+
+    Memory bound: when the full (N, k) u32 window table would exceed
+    max_table_bytes (default METAMDBG_TPU_COUNT_TABLE_GB, 20 GB — the
+    reference's disk-partition trigger, src/graph/CreateMdbg.cpp:223-226),
+    counting streams read chunks through count_unique_rows and merges the
+    per-chunk sorted tables, then replays a second chunked pass for the
+    rescue — identical output, peak RAM ~ the unique table + one chunk.
     """
+    if max_table_bytes is None:
+        import os
+        max_table_bytes = int(float(os.environ.get(
+            "METAMDBG_TPU_COUNT_TABLE_GB", "20")) * (1 << 30))
+    est = sum(max(0, m.shape[0] - k + 1) for m in reads) * k * 4
+    if est > max_table_bytes:
+        return _count_kminmers_bounded(reads, k, min_abundance,
+                                       max_table_bytes)
     rows, read_ids, _, offsets = batch_extract_kminmers(reads, k)
     uniq, counts = count_unique_rows(rows)
     return _assemble_first_pass(rows, read_ids, offsets, uniq, counts, k,
                                 min_abundance)
+
+
+def _merge_counted(u1, c1, u2, c2):
+    """Merge two lex-sorted unique-row tables, summing counts of equal rows."""
+    if u1.shape[0] == 0:
+        return u2, c2
+    if u2.shape[0] == 0:
+        return u1, c1
+    rows = np.concatenate([u1, u2])
+    cnt = np.concatenate([c1, c2]).astype(np.int64)
+    order = sort_rows_lex(rows)
+    s = rows[order]
+    c = cnt[order]
+    new_group = np.empty(s.shape[0], dtype=bool)
+    new_group[0] = True
+    np.not_equal(s[1:], s[:-1]).any(axis=1, out=new_group[1:])
+    starts = np.flatnonzero(new_group)
+    summed = np.add.reduceat(c, starts)
+    return np.ascontiguousarray(s[starts]), summed.astype(np.uint32)
+
+
+def _iter_read_chunks(reads, k: int, budget_rows: int):
+    """Yield read-list chunks whose window totals stay under budget_rows."""
+    chunk = []
+    n_rows = 0
+    for m in reads:
+        w = max(0, m.shape[0] - k + 1)
+        if chunk and n_rows + w > budget_rows:
+            yield chunk
+            chunk, n_rows = [], 0
+        chunk.append(m)
+        n_rows += w
+    if chunk:
+        yield chunk
+
+
+def _count_kminmers_bounded(reads, k, min_abundance, max_table_bytes):
+    budget_rows = max(1, max_table_bytes // (k * 4) // 4)
+    uniq = np.zeros((0, k), np.uint32)
+    counts = np.zeros(0, np.uint32)
+    for chunk in _iter_read_chunks(reads, k, budget_rows):
+        rows, _, _, _ = batch_extract_kminmers(chunk, k)
+        u, c = count_unique_rows(rows)
+        uniq, counts = _merge_counted(uniq, counts, u, c)
+
+    solid_mask = counts > 1
+    if min_abundance > 1:
+        solid_mask &= counts >= min_abundance
+    solid_rows = uniq[solid_mask]
+    solid_counts = counts[solid_mask]
+
+    rescued_rows = np.zeros((0, k), np.uint32)
+    if min_abundance <= 1:
+        parts = []
+        for chunk in _iter_read_chunks(reads, k, budget_rows):
+            rows, read_ids, _, offsets = batch_extract_kminmers(chunk, k)
+            if rows.shape[0] == 0:
+                continue
+            r = _rescue(rows, read_ids, offsets, solid_rows, solid_counts, k)
+            if r.shape[0]:
+                parts.append(r)
+        if parts:
+            rescued_rows, _ = count_unique_rows(np.concatenate(parts))
+
+    if rescued_rows.shape[0]:
+        all_rows = np.concatenate([solid_rows, rescued_rows])
+        all_counts = np.concatenate(
+            [solid_counts, np.ones(rescued_rows.shape[0], np.uint32)])
+        order = sort_rows_lex(all_rows)
+        all_rows, all_counts = all_rows[order], all_counts[order]
+    else:
+        all_rows, all_counts = solid_rows, solid_counts
+    return dict(solid_rows=solid_rows, solid_counts=solid_counts,
+                rescued_rows=rescued_rows, all_rows=all_rows,
+                all_counts=all_counts)
 
 
 def count_kminmers_mesh(mesh, reads: list, k: int, min_abundance: int = 0,

@@ -28,8 +28,23 @@ def _open(path: str):
     return open(path, "rb")
 
 
-def iter_reads(paths, max_reads: int | None = None):
-    """Yields Read records over one or more fasta/fastq[.gz] files."""
+def iter_reads(paths, max_reads: int | None = None,
+               need_headers: bool = True):
+    """Yields Read records over one or more fasta/fastq[.gz] files.
+
+    With need_headers=False the native C++ batch decoder (native/fastio.cpp
+    via io/native.py) is used when available: it zlib-decodes and splits
+    records off the Python heap and returns flat buffers that are sliced
+    into the same Read views (headers empty). Sequence/quality bytes are
+    identical to the Python parser (tests/test_native_io.py); every hot
+    consumer (read selection, correction re-sketch, partition routing)
+    only uses index/seq/qual.
+    """
+    if not need_headers:
+        from . import native
+        if native.available():
+            yield from _iter_reads_native(paths, max_reads)
+            return
     if isinstance(paths, (str, os.PathLike)):
         paths = [paths]
     index = 0
@@ -67,6 +82,22 @@ def iter_reads(paths, max_reads: int | None = None):
                     index += 1
                 else:
                     line = f.readline()
+
+
+def _iter_reads_native(paths, max_reads: int | None):
+    from . import native
+    index = 0
+    empty = np.zeros(0, dtype=np.uint8)
+    for seq_buf, qual_buf, lengths, has_qual in \
+            native.iter_read_batches(paths):
+        off = 0
+        for L, hq in zip(lengths.tolist(), has_qual.tolist()):
+            if max_reads is not None and index >= max_reads:
+                return
+            yield Read(index, "", seq_buf[off:off + L],
+                       qual_buf[off:off + L] if hq else empty)
+            index += 1
+            off += L
 
 
 def open_maybe_gzip(path: str, mode: str = "rb"):

@@ -280,9 +280,15 @@ class Pipeline:
                           ignore_errors=True)
 
     def _save_pass_snapshot(self, k: int):
-        """pass_k<k>/ snapshot for the gfa subcommand
-        (AssemblyPipeline.hpp:1435-1475, reduced to parameters)."""
+        """pass_k<k>/ snapshot for the gfa subcommand — exactly what
+        savePassData retains (AssemblyPipeline.hpp:1436-1465): parameters.gz
+        plus assembly_graph.gfa{,.unitigs} when this pass generated them;
+        first pass skipped, existing dirs left untouched on resume."""
+        if k == self.first_k:
+            return
         d = os.path.join(self.tmp_dir, f"pass_k{k}")
+        if os.path.isdir(d):
+            return
         os.makedirs(d, exist_ok=True)
         import shutil
         shutil.copyfile(os.path.join(self.tmp_dir, "parameters.gz"),

@@ -233,7 +233,7 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None,
 
     from ..io import fastq
     read_seqs = {}
-    for read in fastq.iter_reads(read_paths):
+    for read in fastq.iter_reads(read_paths, need_headers=False):
         if read.index in needed:
             read_seqs[read.index] = read.seq
 

@@ -110,7 +110,8 @@ def determine_repetitive_minimizers(input_paths, out_path: str, l: int,
     counts: dict[int, int] = {}
     sketcher = _make_sketcher(l, density_correction, None)
     reads = fastq.iter_reads(input_paths,
-                             max_reads=REPETITIVE_MINIMIZER_MAX_READS)
+                             max_reads=REPETITIVE_MINIMIZER_MAX_READS,
+                             need_headers=False)
     for chunk in _chunked(reads, _CHUNK_READS):
         for mins, _, _, _ in _sketch_chunk(sketcher, chunk, l,
                                            density_correction, use_hpc, None):
@@ -156,7 +157,9 @@ def run_read_selection(input_paths, out_dir: str, params: records.Parameters,
     sketcher = _make_sketcher(l, density, repetitive if repetitive.size
                               else None)
     with records.ReadDataWriter(out_path, with_quality=True) as writer:
-        for chunk in _chunked(fastq.iter_reads(input_paths), _CHUNK_READS):
+        for chunk in _chunked(fastq.iter_reads(input_paths,
+                                                need_headers=False),
+                              _CHUNK_READS):
             sketched = _sketch_chunk(sketcher, chunk, l, density, use_hpc,
                                      repetitive)
             for read, (mins, pos, dirs, rle_pos) in zip(chunk, sketched):

@@ -39,3 +39,21 @@ def test_count_unique_rows_dispatch_parity(monkeypatch):
     du, dc = kminmers.count_unique_rows(rows)
     assert np.array_equal(hu, du)
     assert np.array_equal(hc, dc)
+
+
+def test_bounded_count_matches_monolithic():
+    """The memory-bounded chunked first pass (triggered when the window
+    table would exceed the CreateMdbg.cpp:223-226-style bound) must return
+    the exact dict the monolithic path returns — solid, rescued, all."""
+    rng = np.random.default_rng(11)
+    reads = []
+    for _ in range(300):
+        n = int(rng.integers(4, 60))
+        # small vocab so abundances >1 and rescue reads both occur
+        reads.append(rng.integers(0, 500, size=n).astype(np.uint32))
+
+    mono = kminmers.count_kminmers(reads, 4, max_table_bytes=1 << 40)
+    bounded = kminmers.count_kminmers(reads, 4, max_table_bytes=1024)
+    for key in ("solid_rows", "solid_counts", "rescued_rows",
+                "all_rows", "all_counts"):
+        assert np.array_equal(mono[key], bounded[key]), key
