@@ -310,47 +310,62 @@ def _lookup_rows(query: np.ndarray, table: np.ndarray, values: np.ndarray,
 
 def _searchsorted_pairs(sorted_pairs: np.ndarray, queries: np.ndarray):
     """searchsorted over (N,2) u64 keys ordered by (col0, col1)."""
-    # pack into float-free order-preserving comparison via two-level search
+    # two-level search: col0 range, then col1 within the matching segment.
+    # col0 segments of length 1 (the overwhelmingly common case — col0 is a
+    # murmur128 half, so repeats only come from identical keys) resolve with
+    # one vectorized compare; only multi-row segments fall back to a loop.
     lo = np.searchsorted(sorted_pairs[:, 0], queries[:, 0], side="left")
     hi = np.searchsorted(sorted_pairs[:, 0], queries[:, 0], side="right")
     out = lo.copy()
-    ambiguous = hi > lo
-    if ambiguous.any():
-        amb = np.flatnonzero(ambiguous)
-        for i in amb.tolist():
+    seg1 = hi - lo == 1
+    if seg1.any():
+        i1 = np.flatnonzero(seg1)
+        out[i1] = lo[i1] + (sorted_pairs[lo[i1], 1] < queries[i1, 1])
+    multi = hi - lo > 1
+    if multi.any():
+        for i in np.flatnonzero(multi).tolist():
             seg = sorted_pairs[lo[i]:hi[i], 1]
             out[i] = lo[i] + np.searchsorted(seg, queries[i, 1], side="left")
     return out
 
 
 def _rescue(rows, read_ids, offsets, solid_rows, solid_counts, k):
-    """RescueKminmerFunctor semantics (src/graph/CreateMdbg.hpp:4579-4637)."""
-    abundances, hit = _lookup_rows(rows, solid_rows, solid_counts.astype(np.uint32), 1)
+    """RescueKminmerFunctor semantics (src/graph/CreateMdbg.hpp:4579-4637),
+    vectorized over reads: per-read medians come from one global
+    sort-within-read, the keep decision is a gather, and weak windows are
+    selected with one boolean mask."""
+    abundances, hit = _lookup_rows(rows, solid_rows,
+                                   solid_counts.astype(np.uint32), 1)
     nreads = offsets.shape[0] - 1
-
-    rescued = []
-    for r in range(nreads):
-        a, b = offsets[r], offsets[r + 1]
-        if a == b:
-            continue
-        ab = abundances[a:b]
-        isin = hit[a:b]
-        if not isin.any():
-            continue  # allAbundanceOne
-        s = np.sort(ab)
-        n = s.shape[0]
-        if n % 2 == 0:  # u32 integer mean (Utils::compute_median, Commons.hpp:2982)
-            med = ((int(s[n // 2 - 1]) + int(s[n // 2])) & 0xFFFFFFFF) // 2
-        else:
-            med = int(s[n // 2])
-        cutoff = np.float64(np.float32(med) * np.float32(0.1))
-        if cutoff > 1:
-            continue
-        weak = rows[a:b][~isin]
-        if weak.shape[0]:
-            rescued.append(weak)
-    if not rescued:
+    if rows.shape[0] == 0 or nreads == 0:
         return np.zeros((0, k), np.uint32)
-    cat = np.concatenate(rescued)
+    offsets = np.asarray(offsets, np.int64)
+    seg_len = np.diff(offsets)
+    nonempty = seg_len > 0
+
+    # any solid window per read, via prefix sums (exact on empty segments)
+    csum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+    any_hit = (csum[offsets[1:]] - csum[offsets[:-1]]) > 0
+
+    # per-read sorted abundances: one lexsort keyed (read, abundance)
+    order = np.lexsort((abundances, read_ids))
+    s = abundances[order].astype(np.int64)
+    half = seg_len // 2
+    lo_idx = np.where(nonempty, offsets[:-1] + np.maximum(half - 1, 0), 0)
+    mid_idx = np.where(nonempty, offsets[:-1] + half, 0)
+    lo_idx = np.minimum(lo_idx, s.shape[0] - 1)
+    mid_idx = np.minimum(mid_idx, s.shape[0] - 1)
+    even = (seg_len % 2 == 0) & nonempty
+    # u32 integer mean (Utils::compute_median, Commons.hpp:2982)
+    med = np.where(even, ((s[lo_idx] + s[mid_idx]) & 0xFFFFFFFF) // 2,
+                   s[mid_idx])
+    cutoff = (med.astype(np.uint32).astype(np.float32)
+              * np.float32(0.1)).astype(np.float64)
+    keep_read = any_hit & (cutoff <= 1.0)
+
+    weak_mask = keep_read[read_ids] & ~hit
+    cat = rows[weak_mask]
+    if cat.shape[0] == 0:
+        return np.zeros((0, k), np.uint32)
     uniq, _ = count_unique_rows(cat)
     return uniq

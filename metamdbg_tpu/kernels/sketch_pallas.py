@@ -1,20 +1,20 @@
-"""EXPERIMENTAL Pallas TPU kernel for batch minimizer sketching.
+"""Pallas TPU kernel for batch minimizer sketching.
 
-Status (round 1): NOT used by production paths. The XLA-fused jnp kernel in
-kernels/sketch.py is the production sketcher (~1.15 Gbases/s on v5e, bit-
-exact vs host). This Pallas version reached 1.30 Gbases/s at block_rows=32
-but two issues block adoption:
-  1. overlapping unaligned column slices of a VMEM value (the naive
-     ``base[:, j:j+w] << shift`` accumulation) miscompile on the current
-     Mosaic version — bits of some shifted contributions are dropped;
-  2. the pltpu.roll rewrite avoids (1) but the remote-compile service in
-     this environment rejects it (HTTP 500 in tpu_compile_helper).
-Revisit in round 2 with a scratch-buffer formulation.
+The Pallas twin of kernels/sketch.py:sketch_batch (rolling canonical
+l-mers + bit-exact MurmurHash3 threshold selection, reference semantics
+from src/Commons.hpp:1325-1446 / MurmurHash3.cpp:246-322): one fused VMEM
+kernel per row block instead of XLA's fusion choices, with an explicit
+column-slab loop bounding live u32 intermediates.
 
-Design: grid over read blocks; full read length per block so k-mer windows
-never cross block boundaries; in-kernel 2048-column slabs bound live u32
-intermediates under the VMEM budget; 64-bit murmur math as (lo, hi) u32
-pairs (utils/u64pair.py).
+History: round 1 hit two Mosaic miscompiles (overlapping unaligned column
+slices dropping bits, and pltpu.roll rejected by the remote compile
+service). Round 3's toolchain compiles the natural slice-accumulate
+formulation correctly (probed before this rewrite); the roll workaround is
+gone. Bit parity vs the XLA kernel and the host sketcher is pinned by
+tests/test_device_sketch.py::test_pallas_matches_xla.
+
+Measured on v5e (256x16384 batch): see bench.py, which reports this kernel
+next to the XLA-fused one and uses the faster as the headline sketch rate.
 """
 
 import functools
@@ -44,24 +44,13 @@ def _sketch_kernel(codes_ref, values_ref, selected_ref, dirs_ref,
         base = jnp.where(is_bad, 0, codes)
         comp = base ^ 2
 
-        # build via roll + full-width accumulate (overlapping unaligned
-        # slices of VMEM values miscompile on some Mosaic versions)
-        W = codes.shape[1]
-        fwd_f = jnp.zeros((rows, W), jnp.uint32)
-        rev_f = jnp.zeros((rows, W), jnp.uint32)
-        inv_f = jnp.zeros((rows, W), jnp.bool_)
-        b_roll, c_roll, i_roll = base, comp, is_bad
+        fwd = jnp.zeros((rows, w), jnp.uint32)
+        rev = jnp.zeros((rows, w), jnp.uint32)
+        invalid = jnp.zeros((rows, w), jnp.bool_)
         for j in range(l):
-            fwd_f = fwd_f | (b_roll << (2 * (l - 1 - j)))
-            rev_f = rev_f | (c_roll << (2 * j))
-            inv_f = inv_f | i_roll
-            if j + 1 < l:
-                b_roll = pltpu.roll(b_roll, W - 1, 1)
-                c_roll = pltpu.roll(c_roll, W - 1, 1)
-                i_roll = pltpu.roll(i_roll, W - 1, 1)
-        fwd = fwd_f[:, :w]
-        rev = rev_f[:, :w]
-        invalid = inv_f[:, :w]
+            fwd = fwd | (base[:, j:j + w] << (2 * (l - 1 - j)))
+            rev = rev | (comp[:, j:j + w] << (2 * j))
+            invalid = invalid | is_bad[:, j:j + w]
 
         choice_rev = ~(fwd < rev)
         values = jnp.where(choice_rev, rev, fwd)

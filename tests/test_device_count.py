@@ -57,3 +57,52 @@ def test_bounded_count_matches_monolithic():
     for key in ("solid_rows", "solid_counts", "rescued_rows",
                 "all_rows", "all_counts"):
         assert np.array_equal(mono[key], bounded[key]), key
+
+
+def test_rescue_vectorized_matches_loop():
+    """Vectorized RescueKminmerFunctor vs a direct per-read transcription
+    (empty reads, all-weak reads, even/odd window counts, high-abundance
+    reads that must NOT be rescued)."""
+    rng = np.random.default_rng(21)
+    reads = []
+    for i in range(200):
+        n = int(rng.integers(0, 30))
+        vocab = 40 if i % 3 else 100000  # mix solid-rich and weak-only reads
+        reads.append(rng.integers(0, vocab, size=n).astype(np.uint32))
+    k = 4
+    rows, read_ids, _, offsets = kminmers.batch_extract_kminmers(reads, k)
+    uniq, counts = kminmers.count_unique_rows(rows)
+    solid = counts > 1
+    solid_rows, solid_counts = uniq[solid], counts[solid]
+
+    got = kminmers._rescue(rows, read_ids, offsets, solid_rows,
+                           solid_counts, k)
+
+    # direct transcription of CreateMdbg.hpp:4579-4637
+    abundances, hit = kminmers._lookup_rows(
+        rows, solid_rows, solid_counts.astype(np.uint32), 1)
+    rescued = []
+    for r in range(offsets.shape[0] - 1):
+        a, b = offsets[r], offsets[r + 1]
+        if a == b:
+            continue
+        isin = hit[a:b]
+        if not isin.any():
+            continue
+        s = np.sort(abundances[a:b])
+        n = s.shape[0]
+        if n % 2 == 0:
+            med = ((int(s[n // 2 - 1]) + int(s[n // 2])) & 0xFFFFFFFF) // 2
+        else:
+            med = int(s[n // 2])
+        if np.float64(np.float32(med) * np.float32(0.1)) > 1:
+            continue
+        weak = rows[a:b][~isin]
+        if weak.shape[0]:
+            rescued.append(weak)
+    if rescued:
+        want, _ = kminmers.count_unique_rows(np.concatenate(rescued))
+    else:
+        want = np.zeros((0, k), np.uint32)
+    assert np.array_equal(got, want)
+    assert got.shape[0] > 0  # the dataset must actually exercise rescue
