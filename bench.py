@@ -116,21 +116,33 @@ def _kernel_bench():
                                      dtype=np.uint8))
     lengths = jnp.asarray(np.full(n_reads, read_len, np.int32))
 
-    fn = jax.jit(lambda c, ln: sketch_batch(c, ln, l=l, density=density)
-                 ["selected"].sum())
-    total = int(fn(codes, lengths))   # claim + compile + sanity
-    assert total > 0
+    def rate(fn):
+        total = int(fn(codes, lengths))   # claim + compile + sanity
+        assert total > 0
+        # dispatch the loop, then transfer ONE scalar: PJRT executes
+        # in-order per device, so materializing the last result fences
+        # every iteration.
+        iters = 30
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(iters):
+            r = fn(codes, lengths)
+        assert int(r) == total
+        return n_reads * read_len * iters / (time.perf_counter() - t0)
 
-    # dispatch the loop, then transfer ONE scalar: PJRT executes in-order
-    # per device, so materializing the last result fences every iteration.
-    iters = 30
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = fn(codes, lengths)
-    assert int(r) == total
-    dt = time.perf_counter() - t0
-    bases_per_s = n_reads * read_len * iters / dt
+    bases_per_s = rate(jax.jit(
+        lambda c, ln: sketch_batch(c, ln, l=l, density=density)
+        ["selected"].sum()))
+
+    # the Pallas twin (bit-identical; XLA-fused kernel is production —
+    # see kernels/sketch_pallas.py for the measured comparison)
+    try:
+        from metamdbg_tpu.kernels.sketch_pallas import sketch_batch_pallas
+        pallas_bases_per_s = rate(jax.jit(
+            lambda c, ln: sketch_batch_pallas(c, ln, l=l, density=density)
+            ["selected"].sum()))
+    except Exception:
+        pallas_bases_per_s = None
 
     # VPU utilization estimate: the kernel is integer VPU work (no MXU).
     # Per k-mer window: l=15 rounds of shift+or (fwd) + shift+or (rev) +
@@ -141,7 +153,7 @@ def _kernel_bench():
     ops_per_base = 200.0
     vpu_peak = 8 * 128 * 4 * 0.94e9
     vpu_util = bases_per_s * ops_per_base / vpu_peak
-    return bases_per_s, vpu_util, str(jax.devices()[0])
+    return bases_per_s, pallas_bases_per_s, vpu_util, str(jax.devices()[0])
 
 
 def main():
@@ -159,7 +171,7 @@ def main():
         vs_baseline = (nb_bases / wall) / ref_rate
         baseline_source = "published 50Gbp/h/32-core rate, core-scaled"
 
-    kernel_bases_per_s, vpu_util, device = _kernel_bench()
+    kernel_bases_per_s, pallas_bases_per_s, vpu_util, device = _kernel_bench()
 
     print(json.dumps({
         "metric": "e2e_pipeline_bases_per_s",
@@ -173,6 +185,8 @@ def main():
         "sketch_kernel_bases_per_s": round(kernel_bases_per_s, 1),
         "sketch_kernel_kminmers_per_s": round(kernel_bases_per_s * 0.005, 1),
         "sketch_kernel_vpu_util_est": round(vpu_util, 4),
+        "sketch_pallas_bases_per_s": round(pallas_bases_per_s, 1)
+        if pallas_bases_per_s else None,
         "device": device,
     }))
 
