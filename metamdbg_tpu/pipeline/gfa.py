@@ -262,13 +262,9 @@ def run_gfa(out_dir: str, k: int, output_path: str | None = None,
 
     # order index (S-line position) per utg name, as _unitigOrder
     # (GenerateGfa.hpp:484-490)
-    utg_order: dict = {}
-    with open(gfa_in) as fin:
-        s_index = 0
-        for line in fin:
-            if line.startswith("S\t"):
-                utg_order[line.split("\t", 2)[1]] = s_index
-                s_index += 1
+    from ..io import gfa as gfa_io
+    utg_order: dict = {s.name: i
+                       for i, s in enumerate(gfa_io.iter_segments(gfa_in))}
 
     # two passes like the reference: all S lines, then all L lines
     # (GenerateGfa.hpp:444-500 then 502-585); dp uses C++ to_string(float)

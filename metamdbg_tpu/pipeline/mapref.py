@@ -61,11 +61,9 @@ def run_map(out_dir: str, k: int, reference_paths, output_prefix=None):
     # unitig minimizer paths of the saved graph; the .unitigs records are in
     # the same order as the GFA's S lines, whose names we reuse
     unitigs_file = os.path.join(pass_dir, "assembly_graph.gfa.unitigs")
-    seg_names = []
-    with open(os.path.join(pass_dir, "assembly_graph.gfa")) as f:
-        for line in f:
-            if line.startswith("S\t"):
-                seg_names.append(line.split("\t")[1])
+    from ..io import gfa as gfa_io
+    seg_names = [s.name for s in gfa_io.iter_segments(
+        os.path.join(pass_dir, "assembly_graph.gfa"))]
     if output_prefix is None:
         output_prefix = os.path.join(out_dir, f"assemblyGraph_k{k}")
     color_path = output_prefix + ".contigColor.csv"
