@@ -236,6 +236,8 @@ def count_kminmers_mesh(mesh, reads: list, k: int, min_abundance: int = 0,
         return count_kminmers(reads, k, min_abundance)
     from ..parallel.count_table import count_table
 
+    from ..parallel.multihost import global_count_input
+
     ndev = mesh.shape[axis]
     n = len(reads)
     n_rows = ((max(n, 1) + ndev - 1) // ndev) * ndev
@@ -245,7 +247,8 @@ def count_kminmers_mesh(mesh, reads: list, k: int, min_abundance: int = 0,
     for i, m in enumerate(reads):
         mins[i, :m.shape[0]] = m
         lens[i] = m.shape[0]
-    keys, key_counts = count_table(mesh, mins, lens, k, axis=axis)
+    mins_g, lens_g = global_count_input(mesh, mins, lens, axis=axis)
+    keys, key_counts = count_table(mesh, mins_g, lens_g, k, axis=axis)
 
     uniq, _ = count_unique_rows(rows)
     qkey = np.stack(murmur128_u32rows(uniq), axis=1)

@@ -147,8 +147,12 @@ def count_table(mesh: Mesh, minimizers: np.ndarray, lengths: np.ndarray,
     same rows on host. Rows must be divisible by the mesh axis size.
     """
     ndev = mesh.shape[axis]
-    minimizers = jnp.asarray(minimizers, jnp.uint32)
-    lengths = jnp.asarray(lengths, jnp.int32)
+    if not isinstance(minimizers, jax.Array):
+        # host arrays: single-process convenience path. Multi-host callers
+        # build globally-sharded inputs from process-local blocks via
+        # parallel.multihost.global_count_input.
+        minimizers = jnp.asarray(minimizers, jnp.uint32)
+        lengths = jnp.asarray(lengths, jnp.int32)
 
     traffic = np.asarray(_traffic_step(minimizers, lengths, k, ndev, axis,
                                        mesh))
@@ -158,12 +162,13 @@ def count_table(mesh: Mesh, minimizers: np.ndarray, lengths: np.ndarray,
         minimizers, lengths, k, ndev, cap, axis, mesh)
     assert int(overflow) == 0, "capacity negotiation must prevent overflow"
 
-    h1hi = np.asarray(h1hi).reshape(-1).astype(np.uint64)
-    h1lo = np.asarray(h1lo).reshape(-1).astype(np.uint64)
-    h2hi = np.asarray(h2hi).reshape(-1).astype(np.uint64)
-    h2lo = np.asarray(h2lo).reshape(-1).astype(np.uint64)
-    counts = np.asarray(counts).reshape(-1)
-    heads = np.asarray(heads).reshape(-1)
+    from .multihost import gather_to_hosts
+    h1hi = gather_to_hosts(h1hi).reshape(-1).astype(np.uint64)
+    h1lo = gather_to_hosts(h1lo).reshape(-1).astype(np.uint64)
+    h2hi = gather_to_hosts(h2hi).reshape(-1).astype(np.uint64)
+    h2lo = gather_to_hosts(h2lo).reshape(-1).astype(np.uint64)
+    counts = gather_to_hosts(counts).reshape(-1)
+    heads = gather_to_hosts(heads).reshape(-1)
 
     sel = np.flatnonzero(heads)
     h1 = (h1hi[sel] << np.uint64(32)) | h1lo[sel]
