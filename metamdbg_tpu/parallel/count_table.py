@@ -12,7 +12,8 @@ per-destination traffic, the host takes the global max and traces the
 exchange at that (rounded) capacity, so no k-min-mer is ever dropped
 (VERDICT r1 weak #4). `count_table()` returns the full (hash128, count)
 table to the host, byte-equivalent to host counting
-(tests/test_count_table.py).
+(tests/test_device_sketch.py::test_sharded_count_table_matches_host,
+tests/test_mesh_first_pass.py).
 """
 
 import functools
