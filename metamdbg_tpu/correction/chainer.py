@@ -12,6 +12,7 @@ scores and the argmax must tie-break identically.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -50,8 +51,20 @@ def chain_dp(ref_pos, query_pos, is_rev, max_band: int):
     argmaxPosition). Returns (scores f32, parents i64, best_index).
 
     Anchors must already be in the reference's post-sort order.
+
+    Dispatches to the native C++ twin (native/sketch.cpp chain_corr_batch,
+    bit-identical — tests/test_chain_kernel.py) when built; this numpy
+    implementation is the oracle and the fallback. The per-pair Python DP
+    was half the ONT correction stage's wall time.
     """
     n = ref_pos.shape[0]
+    if n and not os.environ.get("METAMDBG_TPU_HOST_CHAIN"):
+        from ..sketch import native_sketch
+        r = native_sketch.chain_corr_single(
+            ref_pos, query_pos, is_rev, max_band, float(CHAIN_W),
+            CHAIN_MAX_DIST, CHAIN_MAX_GAP)
+        if r is not None:
+            return r
     scores = np.zeros(n, np.float32)
     parents = np.full(n, -1, np.int64)
     rp = ref_pos.astype(np.int64)
@@ -322,29 +335,32 @@ def collect_anchors(reference, query):
     """Per-minimizer anchors of query vs a reference position map
     (ReadCorrection.hpp:5006-5069): for each query minimizer present in the
     reference, one anchor per reference occurrence, gathered in
-    (query index asc, reference occurrence asc) order."""
-    ref_map: dict[int, list] = {}
-    rm = reference.minimizers
-    rp = reference.positions
-    rd = reference.directions
-    for i in range(len(rm)):
-        ref_map.setdefault(int(rm[i]), []).append(
-            (int(rp[i]), i, bool(rd[i])))
+    (query index asc, reference occurrence asc) order.
 
-    ref_pos, query_pos, is_rev, ref_idx, query_idx = [], [], [], [], []
-    qm = query.minimizers
-    qp = query.positions
-    qd = query.directions
-    for i in range(len(qm)):
-        occ = ref_map.get(int(qm[i]))
-        if occ is None:
-            continue
-        for (pos, idx, rev) in occ:
-            ref_pos.append(pos)
-            query_pos.append(int(qp[i]))
-            is_rev.append(rev != bool(qd[i]))
-            ref_idx.append(idx)
-            query_idx.append(i)
-    return (np.asarray(ref_pos, np.int64), np.asarray(query_pos, np.int64),
-            np.asarray(is_rev, bool), np.asarray(ref_idx, np.int64),
-            np.asarray(query_idx, np.int64))
+    Vectorized: a stable argsort of the reference minimizers plays the
+    hash map — equal keys keep reference-index order, so the flattened
+    (query-major) gather reproduces the dict-of-occurrence-lists order
+    exactly (pinned by tests/test_chain_kernel.py)."""
+    rm = np.asarray(reference.minimizers)
+    qm = np.asarray(query.minimizers)
+    if rm.shape[0] == 0 or qm.shape[0] == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), np.zeros(0, bool), z.copy(), z.copy()
+    order = np.argsort(rm, kind="stable").astype(np.int64)
+    rm_s = rm[order]
+    lo = np.searchsorted(rm_s, qm, side="left")
+    hi = np.searchsorted(rm_s, qm, side="right")
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), np.zeros(0, bool), z.copy(), z.copy()
+    qsel = np.repeat(np.arange(qm.shape[0], dtype=np.int64), cnt)
+    starts = np.cumsum(cnt) - cnt
+    intra = np.arange(tot, dtype=np.int64) - np.repeat(starts, cnt)
+    ridx = order[np.repeat(lo, cnt) + intra]
+    ref_pos = np.asarray(reference.positions, np.int64)[ridx]
+    query_pos = np.asarray(query.positions, np.int64)[qsel]
+    is_rev = (np.asarray(reference.directions)[ridx].astype(bool)
+              != np.asarray(query.directions)[qsel].astype(bool))
+    return ref_pos, query_pos, is_rev, ridx, qsel

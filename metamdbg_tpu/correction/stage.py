@@ -109,9 +109,34 @@ def sketch_high_density_reads(input_paths, params: records.Parameters,
     return out
 
 
+# -- multiprocess correction (ReadCorrection's OpenMP loop, hpp:1965-2050) --
+#
+# Each read's correction depends only on the immutable high-density read
+# set + alignment lists, so the per-partition loop forks a worker pool:
+# state is inherited copy-on-write (no pickling of the read set), workers
+# use numpy + the native chain/POA code only (never the device), results
+# are written back in read order in the parent (checksum and output bytes
+# identical to the sequential path — tests/test_parity_correction.py covers
+# n_threads=2). The pool is terminated, not joined-exited, so children
+# never run inherited interpreter teardown.
+_PAR: dict = {}
+
+
+def _pool_correct_one(read_index: int):
+    st = _PAR
+    read = st["high_reads"][read_index]
+    low = apply_density_threshold(read, st["params"].density_assembly)
+    if low.minimizers.shape[0] < MIN_READ_MINIMIZERS:
+        return read_index, read.minimizers
+    return read_index, correct_read(
+        read, st["align_lists"][read_index], st["high_reads"], st["params"],
+        st["min_identity"], st["min_overlap_length"], st["band"])
+
+
 def run_read_correction(tmp_dir: str, params: records.Parameters,
                         min_identity: float = 0.96,
-                        min_overlap_length: int = 1000):
+                        min_overlap_length: int = 1000,
+                        n_threads: int = 1):
     stats = records.ReadStats.load(os.path.join(tmp_dir, "read_stats.txt"))
     reads = []
     for r in records.read_read_data(
@@ -162,6 +187,17 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
     # ---- correction (on re-sketched correction-density reads) ----
     high_reads = sketch_high_density_reads(input_paths, params, repetitive)
 
+    pool = None
+    if n_threads > 1:
+        import multiprocessing
+        _PAR.update(high_reads=high_reads, align_lists=align_lists,
+                    params=params, min_identity=min_identity,
+                    min_overlap_length=min_overlap_length, band=band)
+        try:
+            pool = multiprocessing.get_context("fork").Pool(n_threads)
+        except (ValueError, OSError):   # no fork on this platform
+            pool = None
+
     checksum = 0
     out_path = os.path.join(tmp_dir, "read_data_corrected.txt")
     with records.ReadDataWriter(out_path, with_quality=False) as writer:
@@ -169,9 +205,15 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
             correct_set = set(to_correct)
             part_align = {i: align_lists[i] for i in to_correct}
             loaded = sorted(set(to_load))
-            for read_index in loaded:
-                if read_index not in correct_set:
-                    continue
+            work = [ri for ri in loaded if ri in correct_set]
+            if pool is not None and len(work) > 2 * n_threads:
+                chunk = max(1, len(work) // (4 * n_threads))
+                for read_index, mins in pool.imap(
+                        _pool_correct_one, work, chunksize=chunk):
+                    checksum = _write_read(writer, read_index, mins,
+                                           params, checksum)
+                continue
+            for read_index in work:
                 read = high_reads[read_index]
                 low = apply_density_threshold(read, params.density_assembly)
                 if low.minimizers.shape[0] < MIN_READ_MINIMIZERS:
@@ -183,6 +225,8 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
                                              min_overlap_length, band)
                     checksum = _write_read(writer, read.index, corrected,
                                            params, checksum)
+    if pool is not None:
+        pool.terminate()
     # determinism oracle: the reference logs the same per-stage checksum
     # (SURVEY §4.2; src/readSelection/ReadCorrection.hpp:1982-1986 area)
     log.info("Correction checksum: %d", checksum)

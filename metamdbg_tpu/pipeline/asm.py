@@ -171,7 +171,8 @@ class Pipeline:
                     correction_stage.run_read_correction(
                         self.tmp_dir, params,
                         min_identity=self.read_correction_min_identity,
-                        min_overlap_length=self.read_correction_min_overlap)
+                        min_overlap_length=self.read_correction_min_overlap,
+                        n_threads=self.n_threads)
                 self._mark("correctReads")
 
         prev_k = self.first_k

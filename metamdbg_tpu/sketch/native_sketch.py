@@ -59,8 +59,40 @@ def _load():
         ctypes.c_int32, ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
         f32p, i32p, i32p, ctypes.c_int32]
     lib.chain_batch.restype = ctypes.c_int64
+    lib.chain_corr_batch.argtypes = [
+        i64p, i64p, u8p, i64p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
+        f32p, i32p, i32p, ctypes.c_int32]
+    lib.chain_corr_batch.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
+
+
+def chain_corr_single(ref_pos, q_pos, is_rev, band: int, w: float,
+                      max_dist: int, max_gap: int):
+    """One correction-chainer DP group (native/sketch.cpp chain_corr_batch,
+    MinimizerChainer semantics — see correction/chainer.chain_dp, whose
+    numpy implementation remains the oracle). Returns
+    (scores f32, parents i64, best_index) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = ref_pos.shape[0]
+    offsets = np.array([0, n], np.int64)
+    rp = np.ascontiguousarray(ref_pos, np.int64)
+    qp = np.ascontiguousarray(q_pos, np.int64)
+    rv = np.ascontiguousarray(is_rev, np.uint8)
+    scores = np.zeros(n, np.float32)
+    parents = np.zeros(n, np.int32)
+    best_idx = np.zeros(1, np.int32)
+    lib.chain_corr_batch(
+        _ptr(rp, ctypes.c_int64), _ptr(qp, ctypes.c_int64),
+        _ptr(rv, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+        np.int32(1), np.int32(band), ctypes.c_float(w),
+        np.int64(max_dist), np.int64(max_gap),
+        _ptr(scores, ctypes.c_float), _ptr(parents, ctypes.c_int32),
+        _ptr(best_idx, ctypes.c_int32), np.int32(1))
+    return scores, parents.astype(np.int64), int(best_idx[0])
 
 
 def chain_batch_native(groups, avg_dist: float, band: int, w: float,

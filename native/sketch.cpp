@@ -219,4 +219,76 @@ int64_t chain_batch(const int64_t* ref_pos, const int64_t* q_pos,
   return 0;
 }
 
+// Correction-chainer DP, batch over groups (host production twin of
+// kernels/chain_jax.chain_dp_device; semantics of
+// MinimizerChainer::chainAnchors + argmaxPosition,
+// src/readSelection/MinimizerChainer.hpp:735-961, as re-expressed by
+// correction/chainer.chain_dp — bit-identical float32 scoring, descending-j
+// strict-> tie-break (largest j wins), strict-> first-wins argmax).
+// Anchors concatenated; offsets[n_groups+1] delimits groups. Outputs:
+// per-anchor float32 scores and parent (group-local, -1 = root), per-group
+// best index (-1 when empty).
+int64_t chain_corr_batch(const int64_t* ref_pos, const int64_t* q_pos,
+                         const uint8_t* is_rev, const int64_t* offsets,
+                         int32_t n_groups, int32_t band, float w,
+                         int64_t max_dist, int64_t max_gap,
+                         float* out_scores, int32_t* parents,
+                         int32_t* best_idx, int32_t n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(dynamic, 16)
+#endif
+  for (int32_t gidx = 0; gidx < n_groups; ++gidx) {
+    int64_t a = offsets[gidx], b = offsets[gidx + 1];
+    int64_t n = b - a;
+    const int64_t* rp = ref_pos + a;
+    const int64_t* qp = q_pos + a;
+    const uint8_t* rv = is_rev + a;
+    float* scores = out_scores + a;
+    int32_t* par = parents + a;
+    for (int64_t i = 0; i < n; ++i) {
+      float best_score = 0.0f;
+      int64_t best_prev = i;
+      for (int64_t j = i - 1; j >= 0; --j) {
+        if (i - j > band) break;
+        if (rv[i] != rv[j]) continue;
+        if (rp[i] == rp[j] || qp[i] == qp[j]) continue;
+        int64_t d_r = rp[i] - rp[j];
+        int64_t d_q = rv[i] ? (qp[j] - qp[i]) : (qp[i] - qp[j]);
+        if (d_q > max_dist || d_r > max_dist) continue;
+        if (d_r <= 0) continue;
+        int64_t gap = d_r - d_q;
+        if (gap < 0) gap = -gap;
+        if (gap > max_gap) continue;
+        if (rv[i]) {
+          if (qp[i] > qp[j]) continue;
+        } else {
+          if (qp[i] < qp[j]) continue;
+        }
+        float cand = scores[j] + (w - (float)gap);
+        if (cand > best_score) {
+          best_score = cand;
+          best_prev = j;
+        }
+      }
+      if (best_prev != i) {
+        scores[i] = best_score;
+        par[i] = (int32_t)best_prev;
+      } else {
+        scores[i] = w;
+        par[i] = -1;
+      }
+    }
+    int64_t bi = -1;
+    float ms = 0.0f;
+    for (int64_t i = 0; i < n; ++i) {
+      if (scores[i] > ms) {
+        ms = scores[i];
+        bi = i;
+      }
+    }
+    best_idx[gidx] = (int32_t)bi;
+  }
+  return 0;
+}
+
 }  // extern "C"

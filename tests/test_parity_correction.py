@@ -54,6 +54,12 @@ def _run_case(tmp_path, genome_len, coverage, mean_len, error_rate, seed):
     my_bytes = open(os.path.join(my_dir, "read_data_corrected.txt"), "rb").read()
     assert my_bytes == ref_bytes
 
+    # the multiprocess correction pool must be byte-identical too
+    stage.run_read_correction(my_dir, params, min_identity=0.96,
+                              min_overlap_length=1000, n_threads=2)
+    par_bytes = open(os.path.join(my_dir, "read_data_corrected.txt"), "rb").read()
+    assert par_bytes == ref_bytes
+
 
 def test_correction_parity_small(tmp_path):
     _run_case(str(tmp_path), genome_len=60_000, coverage=15, mean_len=6000,
