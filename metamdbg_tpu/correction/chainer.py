@@ -125,11 +125,20 @@ def backtrack(parents, best_index):
 
 
 def compute_chaining_alignment(anchors, reference, query, max_band: int,
-                               minimizer_size: int) -> AlignmentResult:
+                               minimizer_size: int,
+                               need_alignments: bool = True) -> AlignmentResult:
     """anchors: (refPos, queryPos, isRev, refIdx, queryIdx) arrays in the
     reference's gather order (query index asc, ref positions asc).
 
     reference/query: objects with .minimizers, .positions, .read_length.
+
+    need_alignments=False skips building + normalizing the per-position
+    alignment list (filterAlignments only consumes the counts, overhangs
+    and identity — the list was throwaway work for 2/3 of the calls);
+    counts come from one vectorized pass over the chain interval, and
+    `result.alignments` is set to True (a successful chain always yields a
+    non-empty alignment: the final match pair is unconditionally appended
+    and never erased by normalization).
     """
     result = AlignmentResult()
     ref_pos, query_pos, is_rev, ref_idx, query_idx = anchors
@@ -186,6 +195,32 @@ def compute_chaining_alignment(anchors, reference, query, max_band: int,
         overhang_end = min(reference_length - _pos(ref_mpos, l_ri - 1),
                            query_length - _pos(q_mpos, l_qi - 1))
         nb_end_mm = min(len(ref_mins) - l_ri - 1, len(q_mins) - l_qi - 1)
+
+    if not need_alignments:
+        # one vectorized pass over the chain interval; arithmetic kept raw
+        # (no clamping) to mirror the loop's count accumulation exactly,
+        # including the reference's negative-gap quirk
+        iv = np.asarray(interval, np.int64)
+        cur_v, nxt_v = iv[:-1], iv[1:]
+        ref_gap_v = ref_idx[nxt_v] - ref_idx[cur_v] - 1
+        if is_query_reversed:
+            q_gap_v = query_idx[cur_v] - query_idx[nxt_v] - 1
+        else:
+            q_gap_v = query_idx[nxt_v] - query_idx[cur_v] - 1
+        mm_v = np.minimum(ref_gap_v, q_gap_v)
+        gt = ref_gap_v > q_gap_v
+        nb_matches = len(interval)
+        nb_missmatches = int(nb_start_mm + nb_end_mm + mm_v.sum())
+        nb_deletions = int(np.where(gt, ref_gap_v - mm_v, 0).sum())
+        nb_insertions = int(np.where(gt, 0, q_gap_v - mm_v).sum())
+        align_start = int(ref_pos[iv[0]])
+        align_end = int(ref_pos[iv[-1]])
+        return _finish_result(result, nb_matches, nb_missmatches,
+                              nb_deletions, nb_insertions, minimizer_size,
+                              is_query_reversed, max_score, overhang_start,
+                              overhang_end, align_start, align_end,
+                              ref_pos, query_pos, first, last, f_ri, l_ri,
+                              True)
 
     alignments = []
     nb_matches = 0
@@ -253,6 +288,19 @@ def compute_chaining_alignment(anchors, reference, query, max_band: int,
         qpos += qstep
         nb_missmatches += 1
 
+    return _finish_result(result, nb_matches, nb_missmatches, nb_deletions,
+                          nb_insertions, minimizer_size, is_query_reversed,
+                          max_score, overhang_start, overhang_end,
+                          align_start, align_end, ref_pos, query_pos,
+                          first, last, f_ri, l_ri,
+                          normalize_alignment(alignments, ref_mins, q_mins))
+
+
+def _finish_result(result, nb_matches, nb_missmatches, nb_deletions,
+                   nb_insertions, minimizer_size, is_query_reversed,
+                   max_score, overhang_start, overhang_end, align_start,
+                   align_end, ref_pos, query_pos, first, last, f_ri, l_ri,
+                   alignments):
     reference_size = nb_matches + nb_missmatches + nb_deletions
     query_size = nb_matches + nb_missmatches + nb_insertions
     nb_seeds = min(reference_size, query_size)
@@ -283,7 +331,7 @@ def compute_chaining_alignment(anchors, reference, query, max_band: int,
     else:
         result.query_start = int(query_pos[first])
         result.query_end = int(query_pos[last])
-    result.alignments = normalize_alignment(alignments, ref_mins, q_mins)
+    result.alignments = alignments
     return result
 
 

@@ -335,7 +335,8 @@ def filter_alignments(read, aligned, reads, params, min_identity,
         if anchors[0].shape[0] == 0:
             continue
         result = chainer.compute_chaining_alignment(
-            anchors, read, query, band, params.minimizer_size)
+            anchors, read, query, band, params.minimizer_size,
+            need_alignments=False)
         if result.overhang_start > 1000 or result.overhang_end > 1000:
             continue
         if result.align_length < min_overlap_length:
