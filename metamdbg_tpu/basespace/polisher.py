@@ -113,37 +113,79 @@ def _index_read_alignment(existing: list, al: Alignment):
         existing.append(al)
 
 
-def map_reads_to_contigs(contigs: dict, reads_iter, read_sketches=None):
+# fork-pool state for the read-vs-contig mapping fan-out (same pattern as
+# correction/stage.py: copy-on-write inheritance, workers are numpy-only,
+# results merged in read order so output is identical to sequential)
+_MAP_PAR: dict = {}
+
+
+def _map_one_read(item):
+    index = _MAP_PAR["index"]
+    read_sketches = _MAP_PAR["read_sketches"]
+    read_index, seq, _qual = item
+    if read_sketches is not None and read_index in read_sketches:
+        q_vals, q_pos, q_dirs = read_sketches[read_index]
+        hits = overlap.map_sketched(index, q_vals, q_pos, q_dirs,
+                                    seq.shape[0], min_span=500, max_occ=64)
+    else:
+        hits = overlap.map_seq(index, seq, min_span=500, max_occ=64)
+    als = []
+    for b in hits:
+        if b.is_reversed:
+            continue  # partition reads are contig-oriented (hpp:1193)
+        mappable = b.mappable_length()
+        identity = b.nb_matches / max(1, mappable)
+        al = Alignment(b.tid, read_index, b.query_start, b.query_end,
+                       b.ref_start, b.ref_end, identity, b.query_length,
+                       b.ref_length, b.anchors)
+        if not al.is_maximal_mapping(MAX_MAPPING_OFFSET):
+            continue
+        als.append(al)
+    return read_index, als
+
+
+def _map_chunk(bounds):
+    lo, hi = bounds
+    return [_map_one_read(_MAP_PAR["reads"][i]) for i in range(lo, hi)]
+
+
+def map_reads_to_contigs(contigs: dict, reads_iter, read_sketches=None,
+                         n_threads: int = 1):
     """MapReadsFunctor + loadAllAlignments_read2 (hpp:451-618,1155-1245).
 
     contigs: contig_index -> sequence (np.uint8); reads_iter yields
     (read_index, seq, qual|None). Returns read_index -> [Alignment].
     """
     index = overlap.SeqIndex()
-    sketches = {}
     for cid, seq in contigs.items():
         index.add(cid, seq)
     index.build()
 
+    reads = reads_iter if isinstance(reads_iter, list) else list(reads_iter)
+    _MAP_PAR.update(index=index, reads=reads, read_sketches=read_sketches)
+
+    per_read = None
+    if n_threads and n_threads > 1 and len(reads) > 4 * n_threads:
+        try:
+            import multiprocessing
+            n_chunks = n_threads * 4
+            step = max(1, len(reads) // n_chunks)
+            bounds = [(lo, min(lo + step, len(reads)))
+                      for lo in range(0, len(reads), step)]
+            pool = multiprocessing.get_context("fork").Pool(n_threads)
+            try:
+                per_read = [r for chunk in pool.map(_map_chunk, bounds)
+                            for r in chunk]
+            finally:
+                pool.terminate()
+        except (ValueError, OSError):
+            per_read = None
+    if per_read is None:
+        per_read = [_map_one_read(item) for item in reads]
+
     all_alignments: dict = {}
-    for (read_index, seq, _qual) in reads_iter:
-        if read_sketches is not None and read_index in read_sketches:
-            q_vals, q_pos, q_dirs = read_sketches[read_index]
-            hits = overlap.map_sketched(index, q_vals, q_pos, q_dirs,
-                                        seq.shape[0], min_span=500,
-                                        max_occ=64)
-        else:
-            hits = overlap.map_seq(index, seq, min_span=500, max_occ=64)
-        for b in hits:
-            if b.is_reversed:
-                continue  # partition reads are contig-oriented (hpp:1193)
-            mappable = b.mappable_length()
-            identity = b.nb_matches / max(1, mappable)
-            al = Alignment(b.tid, read_index, b.query_start, b.query_end,
-                           b.ref_start, b.ref_end, identity, b.query_length,
-                           b.ref_length, b.anchors)
-            if not al.is_maximal_mapping(MAX_MAPPING_OFFSET):
-                continue
+    for read_index, als in per_read:
+        for al in als:
             _index_read_alignment(all_alignments.setdefault(read_index, []),
                                   al)
     return all_alignments
@@ -509,7 +551,8 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
     Returns (new contigs dict, new headers dict, coverages, header strings).
     """
     all_alignments = map_reads_to_contigs(contigs, reads,
-                                          read_sketches=read_sketches)
+                                          read_sketches=read_sketches,
+                                          n_threads=n_threads or 1)
     contig_coverages = compute_contig_coverages(contigs, all_alignments)
 
     # collect window fragments
