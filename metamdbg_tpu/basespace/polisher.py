@@ -144,11 +144,6 @@ def _map_one_read(item):
     return read_index, als
 
 
-def _map_chunk(bounds):
-    lo, hi = bounds
-    return [_map_one_read(_MAP_PAR["reads"][i]) for i in range(lo, hi)]
-
-
 def map_reads_to_contigs(contigs: dict, reads_iter, read_sketches=None,
                          n_threads: int = 1):
     """MapReadsFunctor + loadAllAlignments_read2 (hpp:451-618,1155-1245).
@@ -161,27 +156,11 @@ def map_reads_to_contigs(contigs: dict, reads_iter, read_sketches=None,
         index.add(cid, seq)
     index.build()
 
-    reads = reads_iter if isinstance(reads_iter, list) else list(reads_iter)
-    _MAP_PAR.update(index=index, reads=reads, read_sketches=read_sketches)
+    from ..utils.forkmap import fork_map
 
-    per_read = None
-    if n_threads and n_threads > 1 and len(reads) > 4 * n_threads:
-        try:
-            import multiprocessing
-            n_chunks = n_threads * 4
-            step = max(1, len(reads) // n_chunks)
-            bounds = [(lo, min(lo + step, len(reads)))
-                      for lo in range(0, len(reads), step)]
-            pool = multiprocessing.get_context("fork").Pool(n_threads)
-            try:
-                per_read = [r for chunk in pool.map(_map_chunk, bounds)
-                            for r in chunk]
-            finally:
-                pool.terminate()
-        except (ValueError, OSError):
-            per_read = None
-    if per_read is None:
-        per_read = [_map_one_read(item) for item in reads]
+    reads = reads_iter if isinstance(reads_iter, list) else list(reads_iter)
+    _MAP_PAR.update(index=index, read_sketches=read_sketches)
+    per_read = fork_map(_map_one_read, reads, n_threads or 1)
 
     all_alignments: dict = {}
     for read_index, als in per_read:

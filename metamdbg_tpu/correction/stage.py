@@ -187,16 +187,12 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
     # ---- correction (on re-sketched correction-density reads) ----
     high_reads = sketch_high_density_reads(input_paths, params, repetitive)
 
-    pool = None
+    from ..utils.forkmap import fork_map
+
     if n_threads > 1:
-        import multiprocessing
         _PAR.update(high_reads=high_reads, align_lists=align_lists,
                     params=params, min_identity=min_identity,
                     min_overlap_length=min_overlap_length, band=band)
-        try:
-            pool = multiprocessing.get_context("fork").Pool(n_threads)
-        except (ValueError, OSError):   # no fork on this platform
-            pool = None
 
     checksum = 0
     out_path = os.path.join(tmp_dir, "read_data_corrected.txt")
@@ -206,10 +202,9 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
             part_align = {i: align_lists[i] for i in to_correct}
             loaded = sorted(set(to_load))
             work = [ri for ri in loaded if ri in correct_set]
-            if pool is not None and len(work) > 2 * n_threads:
-                chunk = max(1, len(work) // (4 * n_threads))
-                for read_index, mins in pool.imap(
-                        _pool_correct_one, work, chunksize=chunk):
+            if n_threads > 1 and len(work) > 2 * n_threads:
+                for read_index, mins in fork_map(_pool_correct_one, work,
+                                                 n_threads):
                     checksum = _write_read(writer, read_index, mins,
                                            params, checksum)
                 continue
@@ -225,8 +220,6 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
                                              min_overlap_length, band)
                     checksum = _write_read(writer, read.index, corrected,
                                            params, checksum)
-    if pool is not None:
-        pool.terminate()
     # determinism oracle: the reference logs the same per-stage checksum
     # (SURVEY §4.2; src/readSelection/ReadCorrection.hpp:1982-1986 area)
     log.info("Correction checksum: %d", checksum)
