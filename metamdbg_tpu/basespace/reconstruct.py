@@ -111,6 +111,7 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
                 read.qual.size else None
 
         tiler = tiling.ContigTiler(reads, avg_dist, min_contig_length)
+        tiler.n_threads = n_threads or 1
 
         # draft contigs via verified read tiling
         partition_contigs: dict = {}

@@ -585,6 +585,25 @@ def read_paths_to_contigs(tiler: ContigTiler, contig_minimizers,
     return out
 
 
+def _precompute_erroneous(tiler: "ContigTiler", alignments, contig_coverage):
+    """Fill the per-read erroneous/chimera cache in parallel before the
+    sequential path walk. Only worth it with enough cores: the walk checks
+    a subset lazily, so precomputing all reads costs ~2.5x the sequential
+    CPU — a win from 4 workers up. Values are identical either way, so
+    this cannot change the tiling."""
+    nt = int(getattr(tiler, "n_threads", 1) or 1)
+    if nt < 4 or len(alignments) < 4 * nt:
+        return
+    from ..utils.forkmap import fork_map
+
+    def one(ii):
+        return (alignments[ii].read_index,
+                tiler.is_erroneous_read(ii, alignments, contig_coverage))
+
+    for r, v in fork_map(one, list(range(len(alignments))), nt):
+        tiler._erroneous_cache[r] = v
+
+
 def create_base_contig(tiler: ContigTiler, contig_minimizers, is_circular,
                        alignments_in):
     """CreateBaseContigsFunctor::operator() (hpp:1698-1971) for one contig.
@@ -610,6 +629,7 @@ def create_base_contig(tiler: ContigTiler, contig_minimizers, is_circular,
     readindex_to_al = {a.read_index: a for a in alignments}
 
     tiler.prewarm_sketches([a.read_index for a in alignments])
+    _precompute_erroneous(tiler, alignments, contig_coverage)
 
     read_paths = []
     used_alignments: dict = {}
