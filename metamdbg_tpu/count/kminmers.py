@@ -62,22 +62,35 @@ def batch_extract_kminmers(reads: list, k: int):
 
     Returns (rows (N,k) u32, read_ids (N,) int64, is_reversed (N,) bool,
     read_offsets) — rows in read order, windows in position order.
+
+    One vectorized pass over the concatenated minimizer stream (windows
+    crossing read boundaries masked out) instead of a per-read Python
+    loop — at metagenome scale the loop dominated first-pass counting.
     """
-    rows = []
-    read_ids = []
-    revs = []
-    offsets = [0]
-    for i, m in enumerate(reads):
-        w, r = extract_kminmers(m, k)
-        rows.append(w)
-        revs.append(r)
-        read_ids.append(np.full(w.shape[0], i, dtype=np.int64))
-        offsets.append(offsets[-1] + w.shape[0])
-    if rows:
-        return (np.concatenate(rows), np.concatenate(read_ids),
-                np.concatenate(revs), np.asarray(offsets))
-    return (np.zeros((0, k), np.uint32), np.zeros(0, np.int64),
-            np.zeros(0, bool), np.asarray(offsets))
+    n_reads = len(reads)
+    if n_reads == 0:
+        return (np.zeros((0, k), np.uint32), np.zeros(0, np.int64),
+                np.zeros(0, bool), np.zeros(1, np.int64))
+    lens = np.fromiter((m.shape[0] for m in reads), np.int64, n_reads)
+    cat = (np.concatenate(reads).astype(np.uint32, copy=False)
+           if lens.sum() else np.zeros(0, np.uint32))
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    if cat.shape[0] < k:
+        return (np.zeros((0, k), np.uint32), np.zeros(0, np.int64),
+                np.zeros(0, bool), np.zeros(n_reads + 1, np.int64))
+
+    win = np.lib.stride_tricks.sliding_window_view(cat, k)  # (T-k+1, k)
+    # read id of each stream position; window valid iff fully inside a read
+    pos_read = np.repeat(np.arange(n_reads, dtype=np.int64), lens)
+    valid = pos_read[:win.shape[0]] == pos_read[k - 1:]
+    rows_raw = np.ascontiguousarray(win[valid])
+    read_ids = pos_read[:win.shape[0]][valid]
+    rows, revs = normalize_rows(rows_raw)
+
+    counts = np.bincount(read_ids, minlength=n_reads) \
+        if read_ids.shape[0] else np.zeros(n_reads, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return rows, read_ids, revs, offsets
 
 
 def sort_rows_lex(rows: np.ndarray) -> np.ndarray:
