@@ -73,6 +73,15 @@ def _flat_window_hashes(seqs, w: int):
     np.cumsum(lens[:-1], out=seq_off[1:])
     starts = (np.repeat(seq_off, nwin)
               + (np.arange(total) - np.repeat(offsets[:-1], nwin)))
+
+    # native fused normalize+murmur sweep (no (N, w) materialization);
+    # the numpy path below is the oracle and fallback
+    from ..sketch import native_sketch
+    if native_sketch.available():
+        r = native_sketch.window_hash_batch(big, starts, w)
+        if r is not None:
+            return r[0], r[1], offsets
+
     h1 = np.empty(total, np.uint64)
     h2 = np.empty(total, np.uint64)
     step = max(_BATCH_ELEMS // max(w, 1), 1)

@@ -86,12 +86,20 @@ def minimizer_min_qualities(qual_bytes: np.ndarray, rle_positions: np.ndarray,
         return np.ones(positions.shape[0], dtype=np.uint8)
     qual_bytes = np.asarray(qual_bytes, dtype=np.uint8)
     q = qual_bytes.astype(np.int32) - 33
-    # prefix-min-free exact approach: running window minimum via np.minimum.reduceat
-    out = np.empty(positions.shape[0], dtype=np.uint8)
     rp = np.asarray(rle_positions, dtype=np.int64)
     starts = rp[positions]
     ends = rp[positions + l]
-    for i in range(positions.shape[0]):
-        span = q[starts[i]: ends[i]]
-        out[i] = np.uint8(span.min()) if span.size else np.uint8(255)
+    # span minimum via one reduceat over interleaved (start, end-1) bounds:
+    # segment 2i covers [start_i, end_i-1) (reduceat returns q[start] when
+    # the pair is equal, i.e. a length-1 span), then fold in q[end_i-1].
+    out = np.full(positions.shape[0], 255, dtype=np.uint8)
+    nz = np.flatnonzero(ends > starts)
+    if nz.size:
+        s = starts[nz]
+        e = ends[nz]
+        inds = np.empty(2 * nz.size, np.int64)
+        inds[0::2] = s
+        inds[1::2] = e - 1
+        red = np.minimum.reduceat(q, inds)[0::2]
+        out[nz] = np.minimum(red, q[e - 1]).astype(np.uint8)
     return out

@@ -64,8 +64,80 @@ def _load():
         ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
         f32p, i32p, i32p, ctypes.c_int32]
     lib.chain_corr_batch.restype = ctypes.c_int64
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.read_filters_batch.argtypes = [
+        u8p, i64p, u8p, i64p, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int64, f32p, f64p, f32p, ctypes.c_int32]
+    lib.read_filters_batch.restype = ctypes.c_int64
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.window_hash_batch.argtypes = [
+        u32p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, u64p,
+        ctypes.c_int32]
+    lib.window_hash_batch.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
+
+
+def window_hash_batch(cat: np.ndarray, starts: np.ndarray, w: int,
+                      n_threads: int | None = None):
+    """hash128 of the normalized w-window at each start of the flat u32
+    stream (native/sketch.cpp window_hash_batch — fused KmerVec::normalize
+    + MurmurHash3_x64_128_original; utils/hashing.murmur128_u32rows over
+    normalize_rows is the oracle). Returns (h1 u64, h2 u64) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    cat = np.ascontiguousarray(cat, np.uint32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    n = starts.shape[0]
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    lib.window_hash_batch(
+        _ptr(cat, ctypes.c_uint32), _ptr(starts, ctypes.c_int64),
+        np.int64(n), np.int32(w), _ptr(h1, ctypes.c_uint64),
+        _ptr(h2, ctypes.c_uint64), np.int32(n_threads))
+    return h1, h2
+
+
+def read_filters_batch(seqs, quals, w: int, step: int,
+                       qual_table: np.ndarray, n_threads: int | None = None):
+    """Batched complexity + mean-quality filters (native/sketch.cpp
+    read_filters_batch; sketch/filters.py is the oracle). Returns
+    (complexity f64[n], mean_quality f32[n]) or None when unavailable.
+    Empty quality arrays yield NaN mean quality like the Python path."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n = len(seqs)
+    soffs = np.zeros(n + 1, np.int64)
+    qoffs = np.zeros(n + 1, np.int64)
+    for i in range(n):
+        soffs[i + 1] = soffs[i] + seqs[i].shape[0]
+        q = quals[i]
+        qoffs[i + 1] = qoffs[i] + (q.shape[0] if q is not None else 0)
+    seq_cat = np.empty(int(soffs[-1]), np.uint8)
+    qual_cat = np.empty(int(qoffs[-1]), np.uint8)
+    for i in range(n):
+        seq_cat[soffs[i]:soffs[i + 1]] = seqs[i]
+        q = quals[i]
+        if q is not None and q.shape[0]:
+            qual_cat[qoffs[i]:qoffs[i + 1]] = q
+    if qual_cat.shape[0] == 0:
+        qual_cat = np.zeros(1, np.uint8)
+    out_c = np.zeros(n, np.float64)
+    out_q = np.zeros(n, np.float32)
+    qt = np.ascontiguousarray(qual_table, np.float32)
+    lib.read_filters_batch(
+        _ptr(seq_cat, ctypes.c_uint8), _ptr(soffs, ctypes.c_int64),
+        _ptr(qual_cat, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
+        np.int32(n), np.int64(w), np.int64(step),
+        _ptr(qt, ctypes.c_float), _ptr(out_c, ctypes.c_double),
+        _ptr(out_q, ctypes.c_float), np.int32(n_threads))
+    return out_c, out_q
 
 
 def chain_corr_single(ref_pos, q_pos, is_rev, band: int, w: float,

@@ -60,13 +60,20 @@ def purge_palindrome(minimizers: np.ndarray, first_k: int, last_k: int) -> np.nd
             if alive.shape[0] < k:
                 continue
             vals = minimizers[alive]
-            # scan windows of k consecutive alive positions
-            for i in range(alive.shape[0] - k + 1):
-                if _is_palindrome(vals[i: i + k]):
-                    banned[alive[i]] = True
-                    has_palindrome = True
-                    break
-            if has_palindrome:
+            # all k-windows at once; candidates must have equal outermost
+            # pair, then the first (lowest i) full half-palindrome wins —
+            # identical to the sequential scan's first hit
+            win = np.lib.stride_tricks.sliding_window_view(vals, k)
+            half = k // 2
+            cand = np.flatnonzero(win[:, 0] == win[:, k - 1])
+            if cand.size == 0:
+                continue
+            w = win[cand]
+            ok = (w[:, :half] == w[:, ::-1][:, :half]).all(axis=1)
+            hits = cand[ok]
+            if hits.size:
+                banned[alive[hits[0]]] = True
+                has_palindrome = True
                 break
         if not has_palindrome:
             break

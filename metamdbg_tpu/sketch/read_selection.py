@@ -21,6 +21,8 @@ import numpy as np
 
 from ..constants import (
     COMPLEXITY_MAX_SCORE,
+    COMPLEXITY_STEP,
+    COMPLEXITY_WINDOW,
     K_FIRST,
     REPETITIVE_MINIMIZER_FRACTION,
     REPETITIVE_MINIMIZER_MAX_READS,
@@ -162,9 +164,21 @@ def run_read_selection(input_paths, out_dir: str, params: records.Parameters,
                               _CHUNK_READS):
             sketched = _sketch_chunk(sketcher, chunk, l, density, use_hpc,
                                      repetitive)
-            for read, (mins, pos, dirs, rle_pos) in zip(chunk, sketched):
-                mean_q = filters.mean_read_quality(read.qual)
-                complexity = filters.sequence_complexity(read.seq)
+            # batched complexity + mean-quality filters (native; the
+            # per-read numpy versions remain the oracle and fallback)
+            from . import native_sketch
+            batch_filters = native_sketch.read_filters_batch(
+                [r.seq for r in chunk], [r.qual for r in chunk],
+                COMPLEXITY_WINDOW, COMPLEXITY_STEP, filters._QUAL_TABLE) \
+                if native_sketch.available() else None
+            for ri, (read, (mins, pos, dirs, rle_pos)) in enumerate(
+                    zip(chunk, sketched)):
+                if batch_filters is not None:
+                    complexity = float(batch_filters[0][ri])
+                    mean_q = float(batch_filters[1][ri])
+                else:
+                    mean_q = filters.mean_read_quality(read.qual)
+                    complexity = filters.sequence_complexity(read.seq)
 
                 if complexity > COMPLEXITY_MAX_SCORE:  # NaN -> False (keep)
                     nb_low_complexity += 1

@@ -21,6 +21,8 @@
 //   (repetitiveMinimizers.bin, ReadSelection.hpp:497-561).
 
 #include <algorithm>
+#include <cmath>
+#include <limits>
 #include <cstdint>
 #include <vector>
 
@@ -287,6 +289,126 @@ int64_t chain_corr_batch(const int64_t* ref_pos, const int64_t* q_pos,
       }
     }
     best_idx[gidx] = (int32_t)bi;
+  }
+  return 0;
+}
+
+// Read filters: DUST-like trinucleotide complexity + f32 mean read quality
+// (ReadSelection.hpp:1171-1228, 870-879; sketch/filters.py is the numpy
+// oracle). qual_table: the exact f32 phred->error table from the Python
+// side. out_complexity: NaN when no complete window. Window scores are
+// summed sequentially like the reference's windowScoreSum.
+int64_t read_filters_batch(const uint8_t* seq_cat, const int64_t* seq_offs,
+                           const uint8_t* qual_cat, const int64_t* qual_offs,
+                           int32_t n_reads, int64_t w, int64_t step,
+                           const float* qual_table,
+                           double* out_complexity, float* out_meanq,
+                           int32_t n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(dynamic, 16)
+#endif
+  for (int32_t r = 0; r < n_reads; ++r) {
+    const uint8_t* s = seq_cat + seq_offs[r];
+    int64_t n = seq_offs[r + 1] - seq_offs[r];
+
+    // --- complexity ---
+    int64_t nk = n - 2;  // trinucleotide windows
+    double comp = std::numeric_limits<double>::quiet_NaN();
+    if (nk >= w) {
+      double l = (double)w - 2.0;
+      double score_sum = 0.0;
+      int64_t n_windows = 0;
+      int32_t counts[64];
+      for (int64_t start = 0; start + w <= nk; start += step) {
+        for (int i = 0; i < 64; ++i) counts[i] = 0;
+        for (int64_t i = start; i < start + w; ++i) {
+          uint8_t b0 = s[i], b1 = s[i + 1], b2 = s[i + 2];
+          if (((b0 >> 3) | (b1 >> 3) | (b2 >> 3)) & 1) continue;  // bad
+          int k = (((b0 >> 1) & 3) << 4) | (((b1 >> 1) & 3) << 2)
+                  | ((b2 >> 1) & 3);
+          counts[k] += 1;
+        }
+        double sc = 0.0;
+        for (int i = 0; i < 64; ++i)
+          sc += (double)counts[i] * ((double)counts[i] - 1.0) / 2.0;
+        score_sum += sc / (l - 1.0);
+        n_windows += 1;
+      }
+      if (n_windows > 0) comp = score_sum / (double)n_windows;
+    }
+    out_complexity[r] = comp;
+
+    // --- mean quality ---
+    const uint8_t* q = qual_cat + qual_offs[r];
+    int64_t qn = qual_offs[r + 1] - qual_offs[r];
+    if (qn == 0) {
+      out_meanq[r] = std::numeric_limits<float>::quiet_NaN();
+    } else {
+      long double err_sum = 0.0L;
+      for (int64_t i = 0; i < qn; ++i) err_sum += (long double)qual_table[q[i]];
+      float mean_err = (float)(err_sum / (long double)qn);
+      out_meanq[r] = -10.0f * log10f(mean_err);
+    }
+  }
+  return 0;
+}
+
+// ---- MurmurHash3_x64_128_original over u32 windows (KmerVec::hash128,
+// src/Commons.hpp:956-969; utils/hashing.py murmur128_u32rows is the
+// oracle) fused with KmerVec::normalize: for each w-window of the flat
+// u32 stream, hash min(seq, reversed seq) without materializing it.
+static void Murmur128Window(const uint32_t* s, int32_t w, int rev,
+                            uint64_t* out1, uint64_t* out2) {
+  const uint64_t c1 = 0x87C37B91114253D5ULL;
+  const uint64_t c2 = 0x4CF5AD432745937FULL;
+  uint64_t h1 = 0, h2 = 0;
+  int32_t nblocks = w / 4;
+  int32_t remv = w % 4;
+  auto word = [&](int32_t j) -> uint64_t {
+    return (uint64_t)(rev ? s[w - 1 - j] : s[j]);
+  };
+  for (int32_t b = 0; b < nblocks; ++b) {
+    uint64_t k1 = word(4 * b) | (word(4 * b + 1) << 32);
+    uint64_t k2 = word(4 * b + 2) | (word(4 * b + 3) << 32);
+    k1 *= c1; k1 = Rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+    h1 = Rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52DCE729ULL;
+    k2 *= c2; k2 = Rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+    h2 = Rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495AB5ULL;
+  }
+  int32_t base = 4 * nblocks;
+  if (remv == 3) {
+    uint64_t k2 = word(base + 2);
+    k2 *= c2; k2 = Rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+  }
+  if (remv >= 1) {
+    uint64_t k1 = word(base);
+    if (remv >= 2) k1 |= word(base + 1) << 32;
+    k1 *= c1; k1 = Rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+  }
+  uint64_t length = 4ULL * (uint64_t)w;
+  h1 ^= length; h2 ^= length;
+  h1 += h2; h2 += h1;
+  h1 = Fmix64(h1); h2 = Fmix64(h2);
+  h1 += h2; h2 += h1;
+  *out1 = h1;
+  *out2 = h2;
+}
+
+int64_t window_hash_batch(const uint32_t* cat, const int64_t* starts,
+                          int64_t n, int32_t w, uint64_t* out_h1,
+                          uint64_t* out_h2, int32_t n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t* s = cat + starts[i];
+    // canonical: min(seq, reversed); equal (palindrome) hashes the same
+    int rev = 0;
+    for (int32_t j = 0; j < w; ++j) {
+      uint32_t a = s[j], b = s[w - 1 - j];
+      if (a != b) { rev = (b < a); break; }
+    }
+    Murmur128Window(s, w, rev, &out_h1[i], &out_h2[i]);
   }
   return 0;
 }

@@ -169,3 +169,29 @@ def test_scalar_murmur_matches_vectorized():
         for i in range(rows.shape[0]):
             s1, s2 = murmur128_u32row_scalar(rows[i].tolist())
             assert (s1, s2) == (int(h1[i]), int(h2[i]))
+
+
+def test_native_window_hash_matches_numpy():
+    """Fused native normalize+murmur window sweep vs the numpy oracle
+    (normalize_rows + murmur128_u32rows), incl. palindromic windows and
+    every tail length k%4."""
+    from metamdbg_tpu.count.kminmers import normalize_rows
+    from metamdbg_tpu.sketch import native_sketch
+    from metamdbg_tpu.utils.hashing import murmur128_u32rows
+
+    assert native_sketch.available()
+    rng = np.random.default_rng(41)
+    for w in (2, 3, 4, 5, 7, 8, 21, 50, 101):
+        cat = rng.integers(0, 50, 4000).astype(np.uint32)  # dup-heavy
+        starts = rng.integers(0, cat.shape[0] - w, 500).astype(np.int64)
+        # add palindromic windows
+        for s in starts[:5].tolist():
+            cat[s:s + w] = cat[s:s + w][::-1].copy() if w % 2 == 0 else \
+                np.concatenate([cat[s:s + w // 2],
+                                cat[s:s + w // 2 + 1][::-1]])[:w]
+        h1, h2 = native_sketch.window_hash_batch(cat, starts, w)
+        wins = np.stack([cat[s:s + w] for s in starts.tolist()])
+        norm, _ = normalize_rows(wins)
+        e1, e2 = murmur128_u32rows(norm)
+        assert np.array_equal(h1, e1), w
+        assert np.array_equal(h2, e2), w

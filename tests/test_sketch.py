@@ -109,3 +109,56 @@ def test_native_sketch_matches_numpy():
             assert np.array_equal(mv, nv)
             assert np.array_equal(mp.astype(np.uint32), np_)
             assert np.array_equal(md, nd)
+
+
+def test_native_read_filters_match_numpy():
+    """Batched native complexity/mean-quality vs the numpy oracle,
+    including bad bases, short reads, and missing qualities."""
+    from metamdbg_tpu.sketch import filters, native_sketch
+
+    assert native_sketch.available()
+    rng = np.random.default_rng(31)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    seqs, quals = [], []
+    for i in range(200):
+        n = int(rng.integers(0, 400))
+        s = alpha[rng.integers(0, 5 if i % 4 == 0 else 4, n)]
+        seqs.append(s)
+        quals.append(None if i % 7 == 0 else
+                     rng.integers(33, 75, n).astype(np.uint8))
+    comp, meanq = native_sketch.read_filters_batch(
+        seqs, quals, 64, 32, filters._QUAL_TABLE)
+    for i in range(len(seqs)):
+        want_c = filters.sequence_complexity(seqs[i])
+        want_q = filters.mean_read_quality(
+            quals[i] if quals[i] is not None else np.zeros(0, np.uint8))
+        if np.isnan(want_c):
+            assert np.isnan(comp[i]), i
+        else:
+            assert abs(comp[i] - want_c) < 1e-9, i
+        if np.isnan(want_q):
+            assert np.isnan(meanq[i]), i
+        else:
+            assert np.float32(meanq[i]) == np.float32(want_q), i
+        # the decisions the pipeline takes must be identical
+        assert (comp[i] > 5.0) == (want_c > 5.0), i
+
+
+def test_min_qualities_reduceat_matches_loop():
+    from metamdbg_tpu.sketch import filters
+
+    rng = np.random.default_rng(33)
+    for _ in range(50):
+        n = int(rng.integers(20, 300))
+        qual = rng.integers(33, 80, n).astype(np.uint8)
+        rle = np.sort(rng.integers(0, n + 1, 40)).astype(np.int64)
+        rle[-1] = n
+        l = 5
+        pos = rng.integers(0, len(rle) - l, 10).astype(np.int64)
+        got = filters.minimizer_min_qualities(qual, rle, pos, l)
+        q = qual.astype(np.int32) - 33
+        want = np.empty(pos.shape[0], np.uint8)
+        for i in range(pos.shape[0]):
+            span = q[rle[pos[i]]: rle[pos[i] + l]]
+            want[i] = np.uint8(span.min()) if span.size else np.uint8(255)
+        assert np.array_equal(got, want)
