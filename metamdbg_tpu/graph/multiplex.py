@@ -185,6 +185,8 @@ class MultiplexPass:
         self.k_prev = k - 1
         self.params = params
         self.kminmers: dict = {}          # hash128 -> abundance (u32)
+        self._km_keys = np.zeros((0, 2), np.uint64)   # lex-sorted dict twin
+        self._km_vals = np.zeros(0, np.uint32)
         self.sequences: list = []          # unitigName -> minimizer seq
         self.graph: FilterGraph | None = None
 
@@ -309,12 +311,14 @@ class MultiplexPass:
                 self.kminmers = dict(zip(
                     zip(k1s[head].tolist(), k2s[head].tolist()),
                     abs_[head].tolist()))
+                # lex-sorted array twin of the dict for batched lookups
+                self._km_keys = np.stack([k1s[head], k2s[head]], axis=1)
+                self._km_vals = abs_[head].astype(np.uint32)
 
-        # dump abundances (set semantics; reference iterates its hash map)
-        keys = np.array(sorted(self.kminmers.keys()), dtype=np.uint64).reshape(-1, 2) \
-            if self.kminmers else np.zeros((0, 2), np.uint64)
-        counts = np.array([self.kminmers[tuple(k)] for k in keys.tolist()],
-                          dtype=np.uint32)
+        # dump abundances (set semantics; reference iterates its hash map;
+        # _km_keys is already in sorted-tuple order)
+        keys = self._km_keys
+        counts = self._km_vals
         out = np.empty((keys.shape[0], 20), np.uint8)
         out[:, :8] = keys[:, 1:2].view(np.uint8).reshape(-1, 8)   # low u64 = h2
         out[:, 8:16] = keys[:, 0:1].view(np.uint8).reshape(-1, 8)
@@ -429,16 +433,16 @@ class MultiplexPass:
     def _remove_unsupported(self):
         g = self.graph
         nodes = [n for n in g.unitigs if n is not None]
-        all_hashes = _batch_window_hashes(
+        h1, h2, offs = _flat_window_hashes(
             [self.sequences[n.name] for n in nodes], self.k)
-        to_remove = []
-        for node, hashes in zip(nodes, all_hashes):
-            for key in hashes:
-                if key not in self.kminmers:
-                    to_remove.append(node)
-                    break
-        for node in to_remove:
-            g.remove_node(node)
+        # membership via the sorted array twin: a miss comes back as 0
+        # (all stored abundances are >= 2 by construction)
+        hit = _pair_lookup(self._km_keys, self._km_vals, h1, h2,
+                           np.uint32(0)) != 0
+        csum = np.concatenate([[0], np.cumsum(~hit)])
+        misses = csum[offs[1:]] - csum[offs[:-1]]
+        for i in np.flatnonzero(misses > 0).tolist():
+            g.remove_node(nodes[i])
 
     def _solve_small_unitigs(self):
         g = self.graph
@@ -614,15 +618,18 @@ class MultiplexPass:
                     f.write(np.asarray(pred2, np.uint32).tobytes())
                     nb_edges += len(succ2) + len(pred2)
 
-        # abundances: re-read nodes.bin, per-kminmer lookup (cpp:5574-5657)
+        # abundances: re-read nodes.bin, one flat window-hash sweep + one
+        # batched pair lookup (cpp:5574-5657)
         entries = list(gio.read_unitig_nodes(
             os.path.join(self.out_dir, "unitigGraph.nodes.bin")))
-        all_hashes = _batch_window_hashes([seq for seq, _ in entries], self.k)
+        h1, h2, offs = _flat_window_hashes([seq for seq, _ in entries],
+                                           self.k)
+        ab_flat = _pair_lookup(self._km_keys, self._km_vals, h1, h2,
+                               np.uint32(1)).astype(np.uint32)
         with open(os.path.join(self.out_dir,
                                "unitigGraph.nodes.abundances.bin"), "wb") as f:
-            for (seq, uidx), hashes in zip(entries, all_hashes):
-                ab = np.array([self.kminmers.get(key, 1) for key in hashes],
-                              np.uint32)
+            for i, (seq, uidx) in enumerate(entries):
+                ab = ab_flat[offs[i]:offs[i + 1]]
                 f.write(struct.pack("<II", uidx, ab.shape[0]))
                 f.write(ab.tobytes())
 
