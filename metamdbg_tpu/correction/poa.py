@@ -139,9 +139,91 @@ def successor_completion(edge, ref_minimizer_set):
     return completion
 
 
+class _CompletionTable:
+    """Whole-graph successor-completion table.
+
+    successor_completion's per-edge BFS revisits nearly the whole graph for
+    every candidate edge (dominant ONT-correction cost: 370M list appends
+    at 86 Mbp). Edge weights are ints, so the BFS sum is order-free and
+    equals: edge.weight + sum of contrib(v) over v reachable from
+    edge.head, where contrib(v) = sum of v's out-edge weights whose head
+    minimizer is in the reference set. On the (acyclic) POA graph that is
+    one reverse-topological bitset closure + one integer matmul for every
+    node at once; a detected cycle falls back to the exact per-edge BFS.
+    """
+
+    def __init__(self, graph, ref_minimizer_set):
+        self.fallback = False
+        nodes = []
+        index = {}
+
+        def visit(n):
+            key = id(n)
+            if key not in index:
+                index[key] = len(nodes)
+                nodes.append(n)
+
+        for n in graph.nodes:
+            visit(n)
+        qi = 0
+        while qi < len(nodes):
+            for e in nodes[qi].successors:
+                visit(e.head)
+            qi += 1
+        n_nodes = len(nodes)
+        self.index = index
+        if n_nodes == 0:
+            self.S = np.zeros(0, np.int64)
+            return
+
+        contrib = np.zeros(n_nodes, np.int64)
+        heads_of = [[] for _ in range(n_nodes)]
+        indeg = np.zeros(n_nodes, np.int64)
+        for i, n in enumerate(nodes):
+            for e in n.successors:
+                h = index[id(e.head)]
+                heads_of[i].append(h)
+                indeg[h] += 1
+                if int(e.head.minimizer) in ref_minimizer_set:
+                    contrib[i] += int(e.weight)
+
+        # Kahn topological order; incomplete -> cycle -> exact BFS fallback
+        topo = [int(x) for x in np.flatnonzero(indeg == 0)]
+        qi = 0
+        indeg = indeg.copy()
+        while qi < len(topo):
+            v = topo[qi]
+            qi += 1
+            for h in heads_of[v]:
+                indeg[h] -= 1
+                if indeg[h] == 0:
+                    topo.append(h)
+        if len(topo) < n_nodes:
+            self.fallback = True
+            return
+
+        w_words = (n_nodes + 63) // 64
+        masks = np.zeros((n_nodes, w_words), np.uint64)
+        ar = np.arange(n_nodes)
+        masks[ar, ar // 64] = np.uint64(1) << np.uint64(ar % 64)
+        for v in reversed(topo):
+            row = masks[v]
+            for h in heads_of[v]:
+                np.bitwise_or(row, masks[h], out=row)
+        bools = np.unpackbits(masks.view(np.uint8), axis=1,
+                              bitorder="little")[:, :n_nodes]
+        self.S = bools.astype(np.int64) @ contrib
+
+    def completion(self, edge, ref_minimizer_set):
+        if self.fallback:
+            return successor_completion(edge, ref_minimizer_set)
+        return int(edge.weight) + int(self.S[self.index[id(edge.head)]])
+
+
 def compute_path(graph: PoaGraph, ref_minimizer_set):
     """computePath2 greedy walk (hpp:5730-5928). Returns (mins, max_quals)
     or None when no source qualifies (caller falls back to the input read)."""
+    table = _CompletionTable(graph, ref_minimizer_set)
     start = None
     max_completion = 0
     # the reference scans unordered_map<u32, Node*>; completion ties keep the
@@ -151,7 +233,7 @@ def compute_path(graph: PoaGraph, ref_minimizer_set):
         if node.predecessors:
             continue
         for edge in node.successors:
-            completion = successor_completion(edge, ref_minimizer_set)
+            completion = table.completion(edge, ref_minimizer_set)
             if completion > max_completion:
                 max_completion = completion
                 start = node
@@ -182,7 +264,7 @@ def compute_path(graph: PoaGraph, ref_minimizer_set):
             best = None
             best_completion = 0
             for e in solid:
-                completion = successor_completion(e, ref_minimizer_set)
+                completion = table.completion(e, ref_minimizer_set)
                 if completion > best_completion:
                     best_completion = completion
                     best = e

@@ -113,3 +113,44 @@ def test_window_cut_dp_no_silent_drop():
     q2 = polisher._nw_fwd(read, contig, int(keep[:200].sum()), 200, 650)
     assert q2 is not None
     assert abs(q2 - int(keep[:650].sum())) <= 5
+
+
+def test_completion_table_matches_bfs():
+    """Bitset-closure completion table vs the exact per-edge BFS on random
+    POA graphs (branch nodes, merged edges, in/out-of-reference heads)."""
+    from metamdbg_tpu.correction import poa
+
+    rng = np.random.default_rng(51)
+    for trial in range(30):
+        n = int(rng.integers(5, 60))
+        mins = rng.integers(0, 30, n).astype(np.uint32)
+        quals = rng.integers(1, 40, n).astype(np.uint8)
+        g = poa.PoaGraph(mins, quals)
+        # random extra alignments to create branch nodes + merged edges
+        for _ in range(int(rng.integers(1, 6))):
+            aln = []
+            r = 0
+            while r < n:
+                p = rng.random()
+                if p < 0.1:
+                    aln.append((-1, int(rng.integers(0, n))))  # insertion
+                elif p < 0.2:
+                    aln.append((r, -1))                        # deletion
+                    r += 1
+                else:
+                    aln.append((r, int(rng.integers(0, n))))
+                    r += 1
+            q_mins = rng.integers(0, 30, n).astype(np.uint32)
+            q_quals = rng.integers(1, 40, n).astype(np.uint8)
+            g.add_alignment(aln, mins, q_mins, q_quals)
+
+        ref_set = set(int(m) for m in mins[: n // 2])
+        table = poa._CompletionTable(g, ref_set)
+        checked = 0
+        for node in g.nodes:
+            for e in node.successors:
+                want = poa.successor_completion(e, ref_set)
+                got = table.completion(e, ref_set)
+                assert got == want, (trial, want, got)
+                checked += 1
+        assert checked > 0
