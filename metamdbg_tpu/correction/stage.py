@@ -194,6 +194,11 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
                     params=params, min_identity=min_identity,
                     min_overlap_length=min_overlap_length, band=band)
 
+    from . import poa_native
+    use_native = poa_native.available()
+    native_buffers = poa_native.ReadSetBuffers(high_reads) if use_native \
+        else None
+
     checksum = 0
     out_path = os.path.join(tmp_dir, "read_data_corrected.txt")
     with records.ReadDataWriter(out_path, with_quality=False) as writer:
@@ -202,6 +207,14 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
             part_align = {i: align_lists[i] for i in to_correct}
             loaded = sorted(set(to_load))
             work = [ri for ri in loaded if ri in correct_set]
+            if use_native:
+                outs = poa_native.correct_reads_batch(
+                    native_buffers, work, align_lists, params, min_identity,
+                    min_overlap_length, band, max(n_threads, 1))
+                for read_index, mins in zip(work, outs):
+                    checksum = _write_read(writer, read_index, mins, params,
+                                           checksum)
+                continue
             if n_threads > 1 and len(work) > 2 * n_threads:
                 for read_index, mins in fork_map(_pool_correct_one, work,
                                                  n_threads):
