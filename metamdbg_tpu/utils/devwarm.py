@@ -32,6 +32,15 @@ _thread: threading.Thread | None = None
 _ready = threading.Event()
 _failed: BaseException | None = None
 _claim_seconds: float | None = None
+_roundtrip_seconds: float | None = None
+_slow_logged = False
+
+# A healthy chip (local or well-tunneled) completes a tiny dispatch+readback
+# in well under this; a congested relay takes seconds per roundtrip, which
+# inverts every dispatch-bound stage (observed: an 86 Mbp ONT run crawling
+# at 8% CPU, blocked in per-batch readbacks). Above the bound the adaptive
+# gates stay on their bit-identical host paths.
+_MAX_DISPATCH_SECONDS = 0.25
 
 
 def configure_jax(jax=None):
@@ -64,7 +73,7 @@ def configure_jax(jax=None):
 
 
 def _warm():
-    global _failed, _claim_seconds
+    global _failed, _claim_seconds, _roundtrip_seconds
     try:
         import numpy as np
 
@@ -75,6 +84,11 @@ def _warm():
         x = jax.device_put(np.zeros(8, np.uint8))
         np.asarray(x)  # first readback = pool claim on tunneled backends
         _claim_seconds = time.perf_counter() - t0
+        # second roundtrip measures steady-state dispatch latency (the claim
+        # cost is already paid); this is what per-batch stages actually see
+        t1 = time.perf_counter()
+        np.asarray(jax.device_put(np.zeros(8, np.uint8)) + np.uint8(1))
+        _roundtrip_seconds = time.perf_counter() - t1
         if _claim_seconds > 5.0:
             log.info("device claim completed in %.1f s (overlapped)",
                      _claim_seconds)
@@ -140,4 +154,16 @@ def use_device(context: str) -> bool:
     if not ok and _failed is not None:
         from .devpolicy import device_fallback
         device_fallback(context, _failed)
+    if ok and not require and _roundtrip_seconds is not None:
+        bound = float(os.environ.get("METAMDBG_TPU_MAX_DISPATCH_S",
+                                     _MAX_DISPATCH_SECONDS))
+        if _roundtrip_seconds > bound:
+            global _slow_logged
+            if not _slow_logged:
+                _slow_logged = True
+                log.warning(
+                    "device dispatch roundtrip %.2f s exceeds %.2f s "
+                    "(congested tunnel?); staying on host compute paths",
+                    _roundtrip_seconds, bound)
+            return False
     return ok
