@@ -305,25 +305,46 @@ def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
 
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(t_read)) + 1, [t_read.shape[0]]])
-        groups = []
-        group_targets = []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 3:  # processAnchors minimum (ReadMapper.hpp:850)
-                continue
-            groups.append((a_ref_pos[s:e], a_q_pos[s:e], a_rev[s:e],
-                           q_sel[s:e]))
-            group_targets.append(int(t_read[s]))
-        if use_device and groups:
-            chained_all = _chain_groups_device(groups, max_chaining_band)
-        else:
-            chained_all = [chain_read_pair(*g, max_chaining_band)
-                           for g in groups]
-        entries = []
-        for tgt, chained in zip(group_targets, chained_all):
-            if chained is None:
-                continue
-            score, positions = chained
-            entries.append((tgt, score, positions))
+
+        entries = None
+        if not use_device:
+            # one native call for all of this read's target groups (the
+            # per-pair dispatch was ~30 s of an 86 Mbp ONT run); groups
+            # with <3 anchors can't chain and come back as INT32_MIN
+            from ..sketch import native_sketch
+            from .chainer import CHAIN_MAX_DIST, CHAIN_MAX_GAP, CHAIN_W
+            res = native_sketch.chain_mapper_batch(
+                a_ref_pos, a_q_pos, a_rev, q_sel, starts.astype(np.int64),
+                max_chaining_band, float(CHAIN_W), CHAIN_MAX_DIST,
+                CHAIN_MAX_GAP)
+            if res is not None:
+                g_scores, pos_offsets, positions = res
+                entries = [
+                    (int(t_read[starts[g]]), int(g_scores[g]),
+                     positions[pos_offsets[g]:pos_offsets[g + 1]])
+                    for g in np.flatnonzero(
+                        g_scores > native_sketch._I32_MIN)]
+
+        if entries is None:
+            groups = []
+            group_targets = []
+            for s, e in zip(starts[:-1], starts[1:]):
+                if e - s < 3:  # processAnchors minimum (ReadMapper.hpp:850)
+                    continue
+                groups.append((a_ref_pos[s:e], a_q_pos[s:e], a_rev[s:e],
+                               q_sel[s:e]))
+                group_targets.append(int(t_read[s]))
+            if use_device and groups:
+                chained_all = _chain_groups_device(groups, max_chaining_band)
+            else:
+                chained_all = [chain_read_pair(*g, max_chaining_band)
+                               for g in groups]
+            entries = []
+            for tgt, chained in zip(group_targets, chained_all):
+                if chained is None:
+                    continue
+                score, positions = chained
+                entries.append((tgt, score, positions))
 
         selected = _select_union(packed.shape[0], entries, used_coverage)
         if not selected:
@@ -332,4 +353,5 @@ def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
         bucket = accum.setdefault(read_index, [])
         for (tgt, score, positions) in entries:
             if tgt in sel_set:
-                bucket.append((tgt, positions))
+                # copy: native-path positions are views into the group batch
+                bucket.append((tgt, np.ascontiguousarray(positions)))

@@ -64,6 +64,11 @@ def _load():
         ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
         f32p, i32p, i32p, ctypes.c_int32]
     lib.chain_corr_batch.restype = ctypes.c_int64
+    lib.chain_mapper_batch.argtypes = [
+        i64p, i64p, u8p, i64p, i64p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
+        i32p, i64p, u32p, ctypes.c_int32]
+    lib.chain_mapper_batch.restype = ctypes.c_int64
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.read_filters_batch.argtypes = [
         u8p, i64p, u8p, i64p, ctypes.c_int32, ctypes.c_int64,
@@ -165,6 +170,42 @@ def chain_corr_single(ref_pos, q_pos, is_rev, band: int, w: float,
         _ptr(scores, ctypes.c_float), _ptr(parents, ctypes.c_int32),
         _ptr(best_idx, ctypes.c_int32), np.int32(1))
     return scores, parents.astype(np.int64), int(best_idx[0])
+
+
+_I32_MIN = -2147483648
+
+
+def chain_mapper_batch(ref_pos, q_pos, is_rev, q_idx, offsets, band: int,
+                       w: float, max_dist: int, max_gap: int,
+                       n_threads: int | None = None):
+    """Batched mapper chaining: DP + backtrack + ascending match-position
+    extraction for many anchor groups in one call (native/sketch.cpp
+    chain_mapper_batch; correction/mapper.chain_read_pair is the oracle).
+    Arrays are the concatenated groups, offsets[n_groups+1] delimits.
+    Returns (scores i32 with INT32_MIN for groups without a >=3-anchor
+    chain, pos_offsets i64[n_groups+1], positions u32) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n_groups = offsets.shape[0] - 1
+    rp = np.ascontiguousarray(ref_pos, np.int64)
+    qp = np.ascontiguousarray(q_pos, np.int64)
+    rv = np.ascontiguousarray(is_rev, np.uint8)
+    qi = np.ascontiguousarray(q_idx, np.int64)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    scores = np.empty(n_groups, np.int32)
+    pos_offsets = np.zeros(n_groups + 1, np.int64)
+    positions = np.empty(int(offs[-1]), np.uint32)
+    lib.chain_mapper_batch(
+        _ptr(rp, ctypes.c_int64), _ptr(qp, ctypes.c_int64),
+        _ptr(rv, ctypes.c_uint8), _ptr(qi, ctypes.c_int64),
+        _ptr(offs, ctypes.c_int64), np.int32(n_groups), np.int32(band),
+        ctypes.c_float(w), np.int64(max_dist), np.int64(max_gap),
+        _ptr(scores, ctypes.c_int32), _ptr(pos_offsets, ctypes.c_int64),
+        _ptr(positions, ctypes.c_uint32), np.int32(n_threads))
+    return scores, pos_offsets, positions
 
 
 def chain_batch_native(groups, avg_dist: float, band: int, w: float,

@@ -293,6 +293,116 @@ int64_t chain_corr_batch(const int64_t* ref_pos, const int64_t* q_pos,
   return 0;
 }
 
+// Mapper chaining: the correction-chainer DP plus the backtrack and
+// match-position extraction of ReadMapper::chainAnchors
+// (src/readSelection/ReadMapper.hpp:887-1087), one call for many groups
+// (correction/mapper.chain_read_pair is the Python oracle — the per-pair
+// ctypes dispatch was ~30 s of an 86 Mbp ONT correction run).
+// Outputs per group: score (INT32_MIN when no >=3-anchor chain) and the
+// chain's query-pair indexes ascending in out_positions
+// (out_pos_offsets[n_groups+1] delimits; capacity = offsets[n_groups] is
+// always sufficient since a chain is a subset of its group's anchors).
+int64_t chain_mapper_batch(const int64_t* ref_pos, const int64_t* q_pos,
+                           const uint8_t* is_rev, const int64_t* q_idx,
+                           const int64_t* offsets, int32_t n_groups,
+                           int32_t band, float w, int64_t max_dist,
+                           int64_t max_gap, int32_t* out_scores,
+                           int64_t* out_pos_offsets, uint32_t* out_positions,
+                           int32_t n_threads) {
+  std::vector<std::vector<uint32_t>> results(n_groups);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(n_threads)
+#endif
+  {
+    std::vector<float> scores;
+    std::vector<int32_t> par;
+    std::vector<int64_t> interval;
+    std::vector<uint32_t> qidx;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int32_t gidx = 0; gidx < n_groups; ++gidx) {
+      out_scores[gidx] = INT32_MIN;
+      int64_t a = offsets[gidx], b = offsets[gidx + 1];
+      int64_t n = b - a;
+      const int64_t* rp = ref_pos + a;
+      const int64_t* qp = q_pos + a;
+      const uint8_t* rv = is_rev + a;
+      scores.assign(n, 0.0f);
+      par.assign(n, -1);
+      for (int64_t i = 0; i < n; ++i) {
+        float best_score = 0.0f;
+        int64_t best_prev = i;
+        for (int64_t j = i - 1; j >= 0; --j) {
+          if (i - j > band) break;
+          if (rv[i] != rv[j]) continue;
+          if (rp[i] == rp[j] || qp[i] == qp[j]) continue;
+          int64_t d_r = rp[i] - rp[j];
+          int64_t d_q = rv[i] ? (qp[j] - qp[i]) : (qp[i] - qp[j]);
+          if (d_q > max_dist || d_r > max_dist) continue;
+          if (d_r <= 0) continue;
+          int64_t gap = d_r - d_q;
+          if (gap < 0) gap = -gap;
+          if (gap > max_gap) continue;
+          if (rv[i]) {
+            if (qp[i] > qp[j]) continue;
+          } else {
+            if (qp[i] < qp[j]) continue;
+          }
+          float cand = scores[j] + (w - (float)gap);
+          if (cand > best_score) {
+            best_score = cand;
+            best_prev = j;
+          }
+        }
+        if (best_prev != i) {
+          scores[i] = best_score;
+          par[i] = (int32_t)best_prev;
+        } else {
+          scores[i] = w;
+          par[i] = -1;
+        }
+      }
+      int64_t bi = -1;
+      float ms = 0.0f;
+      for (int64_t i = 0; i < n; ++i) {
+        if (scores[i] > ms) {
+          ms = scores[i];
+          bi = i;
+        }
+      }
+      if (bi < 0) continue;
+      interval.clear();
+      for (int64_t idx = bi; idx != -1; idx = par[idx]) interval.push_back(idx);
+      if ((int64_t)interval.size() < 3) continue;
+      // interval is best->root here; ascending query order = sorted qidx
+      qidx.clear();
+      for (int64_t t : interval) qidx.push_back((uint32_t)q_idx[a + t]);
+      int64_t first_q = (int64_t)qidx.front();   // best
+      int64_t last_q = (int64_t)qidx.back();     // root
+      int64_t nb_matches = (int64_t)qidx.size();
+      int64_t diff_q = (first_q > last_q)
+                           ? (first_q - last_q + 1) - nb_matches
+                           : (last_q - first_q + 1) - nb_matches;
+      std::sort(qidx.begin(), qidx.end());
+      out_scores[gidx] = (int32_t)(nb_matches - diff_q);
+      results[gidx] = qidx;
+    }
+  }
+  int64_t total = 0;
+  out_pos_offsets[0] = 0;
+  for (int32_t g = 0; g < n_groups; ++g) {
+    total += (int64_t)results[g].size();
+    out_pos_offsets[g + 1] = total;
+  }
+  int64_t o = 0;
+  for (int32_t g = 0; g < n_groups; ++g) {
+    std::copy(results[g].begin(), results[g].end(), out_positions + o);
+    o += (int64_t)results[g].size();
+  }
+  return total;
+}
+
 // Read filters: DUST-like trinucleotide complexity + f32 mean read quality
 // (ReadSelection.hpp:1171-1228, 870-879; sketch/filters.py is the numpy
 // oracle). qual_table: the exact f32 phred->error table from the Python
