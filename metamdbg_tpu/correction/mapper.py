@@ -149,16 +149,13 @@ def _select_union(n_positions: int, entries, used_coverage: int):
     """
     if not entries:
         return []
-    pos_all = []
-    score_all = []
-    tgt_all = []
-    for (tgt, score, positions) in entries:
-        pos_all.append(positions.astype(np.int64))
-        score_all.append(np.full(positions.shape[0], score, np.int64))
-        tgt_all.append(np.full(positions.shape[0], tgt, np.int64))
-    pos = np.concatenate(pos_all)
-    score = np.concatenate(score_all)
-    tgt = np.concatenate(tgt_all)
+    n_e = len(entries)
+    counts = np.fromiter((e[2].shape[0] for e in entries), np.int64, n_e)
+    pos = np.concatenate([e[2] for e in entries]).astype(np.int64)
+    score = np.repeat(np.fromiter((e[1] for e in entries), np.int64, n_e),
+                      counts)
+    tgt = np.repeat(np.fromiter((e[0] for e in entries), np.int64, n_e),
+                    counts)
     order = np.lexsort((tgt, -score, pos))
     pos_s = pos[order]
     tgt_s = tgt[order]
@@ -231,12 +228,14 @@ def run_read_mapper(reads, nb_minimizers_per_chunk: int, max_chaining_band: int,
 
 
 def _score_from_positions(positions: np.ndarray) -> int:
-    """mergeAlignmentScore's score recomputation (ReadMapper.hpp:376-382)."""
+    """mergeAlignmentScore's score recomputation (ReadMapper.hpp:376-382).
+
+    The reference sums (p[i+1]-p[i]-1) over the ascending positions; the
+    telescoped closed form n - ((p[-1]-p[0]) - (n-1)) is integer-exact."""
     n = positions.shape[0]
     if n == 0:
         return 1
-    p = positions.astype(np.int64)
-    return int(n - np.sum(p[1:] - p[:-1] - 1))
+    return int(2 * n - 1 - (int(positions[-1]) - int(positions[0])))
 
 
 def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
