@@ -539,6 +539,9 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
         int(np.ceil(seq.shape[0] / WINDOW_LEN)))]
         for cid, seq in contigs.items()}
     read_map = {r[0]: r for r in reads}
+
+    # filtered (read, alignment) work list, oracle iteration order
+    items = []
     for read_index, als in all_alignments.items():
         _, seq, qual = read_map[read_index]
         for al in als:
@@ -548,9 +551,50 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
             if al.contig_start >= contig_len:
                 continue
             al.contig_end = min(al.contig_end, contig_len)
-            identity = al.identity
-            if identity < 0.9:
+            if al.identity < 0.9:
                 continue
+            items.append((read_index, al, seq, qual))
+
+    from . import window_cut_native
+    cut_items = [(seq, al) for (_, al, seq, _) in items
+                 if al.anchors is not None and al.anchors[0].shape[0]]
+    cuts = window_cut_native.window_cut_batch(
+        cut_items, contigs, WINDOW_LEN, overlap.ALIGN_L, _NW_MAX_M,
+        n_threads=n_threads) if cut_items else []
+
+    if cuts is not None:
+        ci = 0
+        for (read_index, al, seq, qual) in items:
+            if al.anchors is None or al.anchors[0].shape[0] == 0:
+                continue
+            fq_a, lq_a, ft_a, lt_a, dropped = cuts[ci]
+            ci += 1
+            for _ in range(dropped):
+                log.warning("window cut DP span exceeds %d (inconsistent "
+                            "anchors); fragment dropped", _NW_MAX_M)
+            identity = al.identity
+            pool = window_seqs[al.contig_index]
+            if qual is not None:
+                qp = np.concatenate([[0], np.cumsum(qual, dtype=np.int64)])
+            for fq, lq, ft, lt in zip(fq_a.tolist(), lq_a.tolist(),
+                                      ft_a.tolist(), lt_a.tolist()):
+                if qual is not None:
+                    avg_q = float((qp[lq] - qp[fq]) / (lq - fq)) - 33.0
+                    if avg_q < QUALITY_THRESHOLD:
+                        continue
+                wid = ft // WINDOW_LEN
+                if wid >= len(pool):
+                    continue
+                ws = wid * WINDOW_LEN
+                frag = seq[fq:lq].tobytes()
+                frag_qual = qual[fq:lq].tobytes() if qual is not None \
+                    else None
+                index_window(pool[wid],
+                             Window(frag, frag_qual, ft - ws, lt - ws - 1,
+                                    identity))
+    else:  # oracle fallback (METAMDBG_TPU_HOST_WINDOW_CUT or build failure)
+        for (read_index, al, seq, qual) in items:
+            identity = al.identity
             for (wid, ps, pe, frag, fq) in find_breaking_points(
                     al, seq, qual, contigs[al.contig_index]):
                 if wid >= len(window_seqs[al.contig_index]):
