@@ -15,6 +15,31 @@ log = logging.getLogger("metamdbg_tpu")
 _DIST_INITIALIZED = False
 
 
+def ensure_distributed():
+    """Initialize jax.distributed when METAMDBG_TPU_DISTRIBUTED is set.
+
+    MUST run before anything touches the XLA backend (jax.devices,
+    device_put, the devwarm claim thread...). devwarm.start_warmup() calls
+    this first, so any pipeline that warms the device is ordered correctly;
+    idempotent and a no-op without the env var."""
+    global _DIST_INITIALIZED
+    if not os.environ.get("METAMDBG_TPU_DISTRIBUTED") or _DIST_INITIALIZED:
+        return
+    import jax
+
+    coord = os.environ.get("METAMDBG_TPU_COORDINATOR")
+    if coord:  # explicit rendezvous (host:port); else JAX auto-detect
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["METAMDBG_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["METAMDBG_TPU_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
+    _DIST_INITIALIZED = True
+    log.info("jax.distributed initialized: process %d/%d",
+             jax.process_index(), jax.process_count())
+
+
 def production_mesh(axis: str = "data"):
     """The mesh production stages should shard over, or None.
 
@@ -28,19 +53,14 @@ def production_mesh(axis: str = "data"):
     """
     if os.environ.get("METAMDBG_TPU_HOST_ONLY"):
         return None
+    ensure_distributed()
     from ..utils import devwarm
     if not devwarm.device_ready():
         return None
-    global _DIST_INITIALIZED
     import jax
     import numpy as np
     from jax.sharding import Mesh
 
-    if os.environ.get("METAMDBG_TPU_DISTRIBUTED") and not _DIST_INITIALIZED:
-        jax.distributed.initialize()
-        _DIST_INITIALIZED = True
-        log.info("jax.distributed initialized: process %d/%d",
-                 jax.process_index(), jax.process_count())
     devices = jax.devices()
     if len(devices) < 2:
         return None

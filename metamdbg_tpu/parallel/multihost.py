@@ -30,26 +30,40 @@ def process_read_range(n_total: int):
     return start, min(start + per, n_total)
 
 
-def global_count_input(mesh, local_rows: np.ndarray, local_lens: np.ndarray,
+def global_count_input(mesh, rows: np.ndarray, lens: np.ndarray,
                        axis: str = "data"):
-    """Build the (globally sharded) count-table inputs.
+    """Build the (globally sharded) count-table inputs from the full padded
+    row/length arrays.
 
     Single-process: device_put with the mesh sharding. Multi-process: each
-    process contributes its local block via
+    process contributes only its contiguous row block (the mesh's device
+    order groups each process's addressable devices contiguously, so the
+    block partition matches the P(axis) layout) via
     jax.make_array_from_process_local_data — the resulting global arrays
-    feed parallel.count_table unchanged.
+    feed parallel.count_table unchanged while each process's device memory
+    holds only its shard. Row count must be divisible by the mesh size
+    (count_kminmers_mesh pads it so).
     """
     import jax.numpy as jnp
     row_sharding = NamedSharding(mesh, P(axis, None))
     len_sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() > 1:
-        rows = jax.make_array_from_process_local_data(
-            row_sharding, np.asarray(local_rows, np.uint32))
-        lens = jax.make_array_from_process_local_data(
-            len_sharding, np.asarray(local_lens, np.int32))
-        return rows, lens
-    return (jax.device_put(jnp.asarray(local_rows, jnp.uint32), row_sharding),
-            jax.device_put(jnp.asarray(local_lens, jnp.int32), len_sharding))
+        pc = jax.process_count()
+        pi = jax.process_index()
+        n = rows.shape[0]
+        assert n % pc == 0, "padded rows must divide across processes"
+        per = n // pc
+        local_rows = np.ascontiguousarray(rows[pi * per:(pi + 1) * per],
+                                          np.uint32)
+        local_lens = np.ascontiguousarray(lens[pi * per:(pi + 1) * per],
+                                          np.int32)
+        g_rows = jax.make_array_from_process_local_data(
+            row_sharding, local_rows, rows.shape)
+        g_lens = jax.make_array_from_process_local_data(
+            len_sharding, local_lens, lens.shape)
+        return g_rows, g_lens
+    return (jax.device_put(jnp.asarray(rows, jnp.uint32), row_sharding),
+            jax.device_put(jnp.asarray(lens, jnp.int32), len_sharding))
 
 
 def gather_to_hosts(x):

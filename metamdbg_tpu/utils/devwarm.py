@@ -105,6 +105,10 @@ def start_warmup():
     global _thread
     if os.environ.get("METAMDBG_TPU_HOST_ONLY"):
         return
+    # multi-host runs must init jax.distributed BEFORE the claim thread
+    # touches the backend (jax requires it before any XLA call)
+    from ..parallel import ensure_distributed
+    ensure_distributed()
     with _lock:
         if _thread is None:
             _thread = threading.Thread(target=_warm, daemon=True,

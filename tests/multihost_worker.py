@@ -1,0 +1,46 @@
+"""Worker for tests/test_multihost.py: one of N OS processes in a real
+jax.distributed run (CPU backend, 4 virtual devices per process).
+
+Runs the PRODUCTION first-pass entry (graph.stage.run_graph_first_pass with
+parallel.production_mesh()) on a shared read file and writes the artifacts
+into its own directory; the parent byte-compares them against a
+single-process run. Must be launched with METAMDBG_TPU_DISTRIBUTED=1 and
+the METAMDBG_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars set.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+
+
+def main():
+    read_file_dir, out_dir, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+
+    import jax
+
+    from metamdbg_tpu import parallel
+    from metamdbg_tpu.graph import stage
+    from metamdbg_tpu.utils import devwarm
+
+    parallel.ensure_distributed()
+    assert devwarm.device_ready(wait=True, timeout=60)
+    mesh = parallel.production_mesh()
+    assert mesh is not None, "mesh must form in a distributed run"
+    n_expected = int(os.environ["METAMDBG_TPU_NUM_PROCESSES"]) * 4
+    assert mesh.devices.size == n_expected, mesh.devices
+    assert jax.process_count() > 1, "distributed init did not happen"
+
+    os.makedirs(out_dir, exist_ok=True)
+    reads = stage.load_minimizer_reads(
+        os.path.join(read_file_dir, "read_data_corrected.txt"))
+    stage.run_graph_first_pass(out_dir, k, 0, reads=reads, mesh=mesh)
+    print(f"process {jax.process_index()} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Executed multi-host first pass (VERDICT r3 missing #3): two real OS
+processes under jax.distributed (CPU backend, 4 virtual devices each, 8
+global) run the production first-pass entry point through
+parallel.multihost.global_count_input / gather_to_hosts and must produce
+byte-identical artifacts to the single-process path on every host."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from metamdbg_tpu.io import records
+
+_ARTIFACTS = ["kminmerData_min.txt", "kminmerData_abundance.txt",
+              "unitigGraph.nodes.bin", "unitigGraph.edges.successors.bin",
+              "unitigGraph.nodes.abundances.bin", "unitigGraph.stats.bin"]
+
+
+def _write_reads(tmp, reads):
+    os.makedirs(tmp, exist_ok=True)
+    with records.ReadDataWriter(os.path.join(tmp, "read_data_corrected.txt"),
+                                with_quality=False) as w:
+        for i, m in enumerate(reads):
+            w.write(records.MinimizerRead(i, m, None, None, None))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+           if p and ".axon_site" not in p])
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("METAMDBG_TPU_REQUIRE_DEVICE", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_two_process_first_pass_byte_identical(tmp_path):
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices for the single-process twin")
+
+    rng = np.random.default_rng(23)
+    reads = []
+    base = rng.integers(1, 1 << 30, size=60, dtype=np.uint32)
+    for i in range(41):
+        start = int(rng.integers(0, 40))
+        ln = int(rng.integers(6, 18))
+        reads.append(base[start:start + ln].copy())
+        if i % 3 == 0:
+            reads.append(base[start:start + ln].copy())
+
+    shared = str(tmp_path / "shared")
+    single = str(tmp_path / "single")
+    _write_reads(shared, reads)
+    _write_reads(single, reads)
+
+    # single-process oracle on the in-process 8-device mesh
+    from metamdbg_tpu.graph import stage
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    stage.run_graph_first_pass(single, 4, 0, mesh=mesh)
+
+    # two real OS processes, jax.distributed over localhost
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = []
+    for pid in range(2):
+        env = _clean_env()
+        env.update(METAMDBG_TPU_DISTRIBUTED="1",
+                   METAMDBG_TPU_COORDINATOR=f"127.0.0.1:{port}",
+                   METAMDBG_TPU_NUM_PROCESSES="2",
+                   METAMDBG_TPU_PROCESS_ID=str(pid))
+        out_dir = str(tmp_path / f"proc{pid}")
+        procs.append((out_dir, subprocess.Popen(
+            [sys.executable, worker, shared, out_dir, "4"], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)))
+
+    for out_dir, p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out.decode(errors="replace")[-4000:]
+
+    ref = {n: open(os.path.join(single, n), "rb").read() for n in _ARTIFACTS}
+    for out_dir, _ in procs:
+        for n in _ARTIFACTS:
+            got = open(os.path.join(out_dir, n), "rb").read()
+            assert got == ref[n], f"{n} differs in {out_dir}"
