@@ -51,6 +51,22 @@ def _dataset():
     return path
 
 
+def _dataset_ont():
+    """Deterministic synthetic 1 Mb x 30x ONT-like read set (R10.4-ish
+    error mix: substitutions + single-base indels), cached."""
+    d = os.path.join(ROOT, "scratch")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "bench_reads_ont_1m30x.fastq.gz")
+    if not os.path.exists(path):
+        sys.path.insert(0, os.path.join(ROOT, "tests"))
+        import datagen
+        genome = datagen.random_genome(GENOME_LEN, seed=17)
+        datagen.write_fastq(path, datagen.sample_reads(
+            genome, COVERAGE, 8_000, 0.02, seed=18, ins_rate=0.01,
+            del_rate=0.01))
+    return path
+
+
 def _stage_breakdown(tmp_dir):
     out = {"readSelection": 0.0, "graph": 0.0, "postprocess": 0.0,
            "toBasespace": 0.0}
@@ -73,26 +89,26 @@ def _stage_breakdown(tmp_dir):
     return {k: round(v, 1) for k, v in out.items()}
 
 
-def _run_pipeline(reads):
-    out_dir = os.path.join(ROOT, "scratch", "bench_out")
+def _run_pipeline(reads, flag="--in-hifi", tag="bench_out"):
+    out_dir = os.path.join(ROOT, "scratch", tag)
     subprocess.run(["rm", "-rf", out_dir], check=True)
     t0 = time.perf_counter()
     subprocess.run(
         [sys.executable, "-m", "metamdbg_tpu", "asm", "--out-dir", out_dir,
-         "--in-hifi", reads, "--threads", str(os.cpu_count() or 1)],
+         flag, reads, "--threads", str(os.cpu_count() or 1)],
         check=True, cwd=ROOT, capture_output=True, timeout=1500)
     wall = time.perf_counter() - t0
     return wall, _stage_breakdown(os.path.join(out_dir, "tmp"))
 
 
-def _run_reference(reads):
+def _run_reference(reads, flag="--in-hifi", tag="bench_ref"):
     if not os.path.exists(REF_BIN):
         return None
-    out_dir = os.path.join(ROOT, "scratch", "bench_ref")
+    out_dir = os.path.join(ROOT, "scratch", tag)
     subprocess.run(["rm", "-rf", out_dir], check=True)
     t0 = time.perf_counter()
     r = subprocess.run(
-        [REF_BIN, "asm", "--out-dir", out_dir, "--in-hifi", reads,
+        [REF_BIN, "asm", "--out-dir", out_dir, flag, reads,
          "--threads", str(os.cpu_count() or 1)],
         capture_output=True, timeout=1500)
     if r.returncode != 0:
@@ -171,6 +187,13 @@ def main():
         vs_baseline = (nb_bases / wall) / ref_rate
         baseline_source = "published 50Gbp/h/32-core rate, core-scaled"
 
+    # ONT twin of the headline case (the less flattering platform belongs
+    # in the bench too — VERDICT r3 weak #8)
+    ont_reads = _dataset_ont()
+    ont_wall, ont_breakdown = _run_pipeline(ont_reads, "--in-ont",
+                                            "bench_out_ont")
+    ont_ref_wall = _run_reference(ont_reads, "--in-ont", "bench_ref_ont")
+
     kernel_bases_per_s, pallas_bases_per_s, vpu_util, device = _kernel_bench()
 
     print(json.dumps({
@@ -182,6 +205,15 @@ def main():
         "reference_wall_s": round(ref_wall, 1) if ref_wall else None,
         "baseline_source": baseline_source,
         "stage_breakdown_s": breakdown,
+        "ont_e2e_wall_s": round(ont_wall, 1),
+        "ont_reference_wall_s": round(ont_ref_wall, 1)
+        if ont_ref_wall else None,
+        "ont_vs_baseline": round(ont_ref_wall / ont_wall, 3)
+        if ont_ref_wall else None,
+        "ont_stage_breakdown_s": ont_breakdown,
+        "host_cores": os.cpu_count() or 1,
+        "note": "vs_baseline is same-machine wall-clock; the reference "
+                "scales with host cores, so this is NOT pod-scale evidence",
         "sketch_kernel_bases_per_s": round(kernel_bases_per_s, 1),
         "sketch_kernel_kminmers_per_s": round(kernel_bases_per_s * 0.005, 1),
         "sketch_kernel_vpu_util_est": round(vpu_util, 4),

@@ -198,13 +198,15 @@ class Window:
     __slots__ = ("seq", "qual", "pos_start", "pos_end", "score", "_hash")
 
     def __init__(self, seq: bytes, qual, pos_start: int, pos_end: int,
-                 score: float):
+                 score: float, hash_val: int | None = None):
         self.seq = seq
         self.qual = qual
         self.pos_start = pos_start
         self.pos_end = pos_end
         self.score = score
-        if qual:
+        if hash_val is not None:  # prefix-sum fast path (same value)
+            self._hash = int(hash_val)
+        elif qual:
             self._hash = int((np.frombuffer(seq, np.uint8).astype(np.uint64)
                               * np.frombuffer(qual, np.uint8)).sum())
         else:
@@ -576,6 +578,10 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
             pool = window_seqs[al.contig_index]
             if qual is not None:
                 qp = np.concatenate([[0], np.cumsum(qual, dtype=np.int64)])
+                hp = np.concatenate([[0], np.cumsum(
+                    seq.astype(np.int64) * qual, dtype=np.int64)])
+            else:
+                hp = np.concatenate([[0], np.cumsum(seq, dtype=np.int64)])
             for fq, lq, ft, lt in zip(fq_a.tolist(), lq_a.tolist(),
                                       ft_a.tolist(), lt_a.tolist()):
                 if qual is not None:
@@ -591,7 +597,8 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
                     else None
                 index_window(pool[wid],
                              Window(frag, frag_qual, ft - ws, lt - ws - 1,
-                                    identity))
+                                    identity,
+                                    hash_val=int(hp[lq]) - int(hp[fq])))
     else:  # oracle fallback (METAMDBG_TPU_HOST_WINDOW_CUT or build failure)
         for (read_index, al, seq, qual) in items:
             identity = al.identity

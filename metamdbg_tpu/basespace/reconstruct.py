@@ -99,16 +99,14 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
     for pi in range(partitionner.nb_partitions):
         log.info("  Processing partition %d/%d", pi,
                  partitionner.nb_partitions)
-        read_file = os.path.join(partition_dir, f"{pi}_reads.fastq.gz")
+        read_file = os.path.join(partition_dir, f"{pi}_reads.bin")
         bin_file = os.path.join(partition_dir, f"{pi}_contigs.bin")
 
         reads: dict = {}
         quals: dict = {}
-        for read in fastq.iter_reads([read_file]):
-            idx = int(read.header.split()[0])
-            reads[idx] = read.seq
-            quals[idx] = read.qual if read.qual is not None and \
-                read.qual.size else None
+        for idx, seq, qual in partition_mod.read_read_partition(read_file):
+            reads[idx] = seq
+            quals[idx] = qual
 
         tiler = tiling.ContigTiler(reads, avg_dist, min_contig_length)
         tiler.n_threads = n_threads or 1
