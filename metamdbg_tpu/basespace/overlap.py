@@ -172,12 +172,43 @@ def _extract_chains(q_pos, t_pos, rev, qlen, tlen, tid, density,
     return out
 
 
+def _bounds_from_chain_tuple(c, qlen, index):
+    (qs, qe, ts, te, matches, identity, tid, rev, aq, at) = c
+    return Bounds(qs, qe, ts, te, qlen, index.lengths[tid], rev, matches,
+                  identity, tid, anchors=(aq, at))
+
+
 def map_sketched(index: SeqIndex, q_vals, q_pos, q_dirs, qlen,
                  min_span: int = 500, max_occ: int = 16, band: int = 500,
                  max_chains: int = 4, min_anchors: int = 4,
                  exclude_tid: int | None = None,
                  exclude_self_diag: bool = False):
-    """All chains of a pre-sketched query against the index."""
+    """All chains of a pre-sketched query against the index.
+
+    Production host path is the native engine (native/overlap.cpp,
+    bit-identical — tests/test_overlap_native.py); the numpy path below is
+    the golden oracle and the METAMDBG_TPU_HOST_OVERLAP fallback."""
+    from . import overlap_native
+    if overlap_native.available():
+        res = overlap_native.map_sketched_batch(
+            index, [(q_vals, q_pos, q_dirs, qlen,
+                     -1 if exclude_tid is None else exclude_tid)],
+            index.density, min_span, max_occ, band, max_chains, min_anchors,
+            ALIGN_L, exclude_self_diag, n_threads=1)
+        if res is not None:
+            return [_bounds_from_chain_tuple(c, qlen, index)
+                    for c in res[0]]
+    return map_sketched_numpy(index, q_vals, q_pos, q_dirs, qlen, min_span,
+                              max_occ, band, max_chains, min_anchors,
+                              exclude_tid, exclude_self_diag)
+
+
+def map_sketched_numpy(index: SeqIndex, q_vals, q_pos, q_dirs, qlen,
+                       min_span: int = 500, max_occ: int = 16,
+                       band: int = 500, max_chains: int = 4,
+                       min_anchors: int = 4, exclude_tid: int | None = None,
+                       exclude_self_diag: bool = False):
+    """Numpy golden path (the parity oracle for the native engine)."""
     if q_vals.shape[0] == 0 or index.vals.shape[0] == 0:
         return []
     lo = np.searchsorted(index.vals, q_vals, side="left")
@@ -229,16 +260,33 @@ def map_seq(index: SeqIndex, q_seq: np.ndarray, **kw):
                         int(np.asarray(q_seq).shape[0]), **kw)
 
 
-def overlap_pair(t_sketch, t_len, q_sketch, q_len, min_span: int = 500):
+def overlap_pair(t_sketch, t_len, q_sketch, q_len, min_span: int = 500,
+                 t_index=None):
     """computeAlignment's role for one (read1=target, read2=query) pair
-    (ToBasespace2.hpp:3588-3720): all chains, best (longest align) first."""
+    (ToBasespace2.hpp:3588-3720): all chains, best (longest align) first.
+
+    `t_index`: optional prebuilt overlap_native.PairIndex of the target
+    (tiling caches one per read — the walk queries each read against many
+    neighbors)."""
+    from . import overlap_native
+    q_vals, q_pos, q_dirs = q_sketch
+    if overlap_native.available():
+        if t_index is None:
+            t_index = overlap_native.PairIndex(t_sketch, t_len)
+        res = overlap_native.map_pair(t_index, q_vals, q_pos, q_dirs, q_len,
+                                      ALIGN_DENSITY, min_span, 5,
+                                      align_l=ALIGN_L)
+        if res is not None:
+            return [Bounds(qs, qe, ts, te, q_len, t_len, rev, matches,
+                           identity, tid, anchors=(aq, at))
+                    for (qs, qe, ts, te, matches, identity, tid, rev,
+                         aq, at) in res]
     idx = SeqIndex()
     idx.add(0, np.zeros(0, np.uint8), sketched=t_sketch)
     idx.lengths[0] = t_len
     idx.build()
-    q_vals, q_pos, q_dirs = q_sketch
-    return map_sketched(idx, q_vals, q_pos, q_dirs, q_len,
-                        min_span=min_span, max_occ=5)
+    return map_sketched_numpy(idx, q_vals, q_pos, q_dirs, q_len,
+                              min_span=min_span, max_occ=5)
 
 
 def coverage_profile(bounds: Bounds, t_len: int, gap_tolerance: int = 50):

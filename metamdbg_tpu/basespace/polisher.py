@@ -150,19 +150,74 @@ def map_reads_to_contigs(contigs: dict, reads_iter, read_sketches=None,
 
     contigs: contig_index -> sequence (np.uint8); reads_iter yields
     (read_index, seq, qual|None). Returns read_index -> [Alignment].
+
+    Production path: one native batch map over all reads (OpenMP inside —
+    native/overlap.cpp; was a fork pool of per-read numpy calls, ~73 s of
+    a 12 Mb toBasespace). Fallback: the fork pool over the numpy oracle.
     """
     index = overlap.SeqIndex()
     for cid, seq in contigs.items():
         index.add(cid, seq)
     index.build()
 
+    reads = reads_iter if isinstance(reads_iter, list) else list(reads_iter)
+
+    from . import overlap_native
+    if overlap_native.available():
+        queries = []
+        missing = []
+        for (read_index, seq, _qual) in reads:
+            if read_sketches is not None and read_index in read_sketches:
+                v, p, d = read_sketches[read_index]
+                queries.append((v, p, d, seq.shape[0], -1))
+            else:
+                queries.append(None)
+                missing.append((len(queries) - 1, read_index, seq))
+        if missing:
+            from ..sketch import kmers as _kmers
+            from ..sketch import native_sketch
+            codes, bads = [], []
+            for (_, _, seq) in missing:
+                c, b = _kmers.base_codes(np.asarray(seq, np.uint8))
+                codes.append(c)
+                bads.append(b)
+            res = native_sketch.sketch_batch_native(
+                codes, bads, overlap.ALIGN_L, overlap.ALIGN_DENSITY,
+                n_threads=n_threads or 1)
+            if res is None:
+                res = [overlap.sketch(np.asarray(seq, np.uint8))
+                       for (_, _, seq) in missing]
+            for (qi, _ri, seq), (v, p, d) in zip(missing, res):
+                queries[qi] = (v, p.astype(np.int64), d, seq.shape[0], -1)
+        per_query = overlap_native.map_sketched_batch(
+            index, queries, index.density, 500, 64, 500, 4, 4,
+            overlap.ALIGN_L, n_threads=n_threads or 1)
+        if per_query is not None:
+            all_alignments: dict = {}
+            for (read_index, seq, _qual), chains in zip(reads, per_query):
+                for c in chains:
+                    b = overlap._bounds_from_chain_tuple(c, seq.shape[0],
+                                                         index)
+                    if b.is_reversed:
+                        continue  # partition reads are contig-oriented
+                    mappable = b.mappable_length()
+                    identity = b.nb_matches / max(1, mappable)
+                    al = Alignment(b.tid, read_index, b.query_start,
+                                   b.query_end, b.ref_start, b.ref_end,
+                                   identity, b.query_length, b.ref_length,
+                                   b.anchors)
+                    if not al.is_maximal_mapping(MAX_MAPPING_OFFSET):
+                        continue
+                    _index_read_alignment(
+                        all_alignments.setdefault(read_index, []), al)
+            return all_alignments
+
     from ..utils.forkmap import fork_map
 
-    reads = reads_iter if isinstance(reads_iter, list) else list(reads_iter)
     _MAP_PAR.update(index=index, read_sketches=read_sketches)
     per_read = fork_map(_map_one_read, reads, n_threads or 1)
 
-    all_alignments: dict = {}
+    all_alignments = {}
     for read_index, als in per_read:
         for al in als:
             _index_read_alignment(all_alignments.setdefault(read_index, []),

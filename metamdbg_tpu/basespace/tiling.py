@@ -48,6 +48,7 @@ class ContigTiler:
         self.avg_dist = avg_dist
         self.min_contig_length = min_contig_length
         self._sketches: dict = {}
+        self._indexes: dict = {}
         self._pair_cache: dict = {}
         self._erroneous_cache: dict = {}
 
@@ -57,6 +58,19 @@ class ContigTiler:
             s = overlap.sketch(self.reads[read_index])
             self._sketches[read_index] = s
         return s
+
+    def index_of(self, read_index: int):
+        """Cached prebuilt PairIndex of a read (native path only)."""
+        idx = self._indexes.get(read_index)
+        if idx is None:
+            from . import overlap_native
+            if not overlap_native.available():
+                return None
+            idx = overlap_native.PairIndex(
+                self.sketch_of(read_index),
+                self.reads[read_index].shape[0])
+            self._indexes[read_index] = idx
+        return idx
 
     def prewarm_sketches(self, read_indexes):
         """Batch-sketch many reads ahead of the path walk.
@@ -110,13 +124,14 @@ class ContigTiler:
             hit = overlap.overlap_pair(
                 self.sketch_of(r1), self.reads[r1].shape[0],
                 self.sketch_of(r2), self.reads[r2].shape[0],
-                min_span=MIN_OVERLAP)
+                min_span=MIN_OVERLAP, t_index=self.index_of(r1))
             self._pair_cache[key] = hit
         return hit
 
     def clear_contig_caches(self):
         self._pair_cache.clear()
         self._erroneous_cache.clear()
+        self._indexes.clear()  # pair queries are contig-local; bound memory
 
     # -- erroneous-read detection (ToBasespace2.hpp:3006-3164) --------------
     def is_erroneous_read(self, ii: int, alignments, contig_coverage: float):
@@ -139,7 +154,8 @@ class ContigTiler:
             bl = overlap.overlap_pair(s1, t_len,
                                       self.sketch_of(a2.read_index),
                                       self.reads[a2.read_index].shape[0],
-                                      min_span=MIN_OVERLAP)
+                                      min_span=MIN_OVERLAP,
+                                      t_index=self.index_of(r1))
             if not bl:
                 continue
             best = max(bl, key=lambda b: b.align_length())

@@ -1,12 +1,14 @@
-"""Native window-cutting engine (native/window_cut.cpp) vs the pure-Python
-oracle (basespace/polisher.find_breaking_points): identical polished
-contigs through polish_pass on error-laden synthetic data."""
+"""Native window-cutting engine (native/window_cut.cpp) and native batch
+read-vs-contig mapping (native/overlap.cpp) vs the pure-Python oracles:
+identical polished contigs through polish_pass on error-laden synthetic
+data."""
 
 import numpy as np
 import pytest
 
 import datagen
-from metamdbg_tpu.basespace import polisher, window_cut_native
+from metamdbg_tpu.basespace import overlap_native, polisher, \
+    window_cut_native
 
 
 def _mk_inputs(seed, n_contigs=2, contig_len=8000, coverage=12,
@@ -54,6 +56,7 @@ def test_polish_pass_native_matches_oracle(monkeypatch, seed, error_rate,
 
     monkeypatch.setattr(window_cut_native, "window_cut_batch",
                         lambda *a, **k: None)
+    monkeypatch.setattr(overlap_native, "available", lambda: False)
     c_oracle, h_oracle, cov_oracle, _ = polisher.polish_pass(
         dict(contigs), dict(headers), reads, min_contig_length=100,
         min_contig_coverage=1.0, final_headers=False, n_threads=2)
