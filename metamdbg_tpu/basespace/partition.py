@@ -16,7 +16,14 @@ import struct
 
 import numpy as np
 
-MAX_PARTITION_MEMORY = 4_000_000_000  # hpp:71
+def _max_partition_memory() -> int:
+    """4 GB per partition (hpp:71); METAMDBG_TPU_MAX_PARTITION_GB lowers it
+    so scale tests can force multi-partition polishing on small inputs."""
+    return int(float(os.environ.get("METAMDBG_TPU_MAX_PARTITION_GB", "4"))
+               * 1_000_000_000)
+
+
+MAX_PARTITION_MEMORY = 4_000_000_000  # hpp:71 (see _max_partition_memory)
 
 REVCOMP = np.zeros(256, np.uint8)
 for _a, _b in zip(b"ACGTacgt", b"TGCATGCA"):
@@ -64,7 +71,7 @@ class Partitionner:
             contig_memory = int(np.ceil(cov * (contig_length
                                                + contig_length / 4.0)))
             if memory[pi] > 0 and memory[pi] + contig_memory \
-                    > MAX_PARTITION_MEMORY:
+                    > _max_partition_memory():
                 memory.append(0)
                 pi = len(memory) - 1
             memory[pi] += contig_memory

@@ -581,10 +581,17 @@ def trim_consensus(seq: bytes, coverages: np.ndarray, nb_sequences: int,
 def polish_pass(contigs: dict, headers: dict, reads: list,
                 min_contig_length: int, min_contig_coverage: float,
                 final_headers: bool, n_threads: int | None = None,
-                read_sketches=None):
+                read_sketches=None, restrict=None):
     """One polishPartition pass (hpp:281-448). contigs: cid -> uint8 seq;
     headers: cid -> (orig_index, is_circular); reads: [(idx, seq, qual)].
-    Returns (new contigs dict, new headers dict, coverages, header strings).
+    Returns (new contigs dict, new headers dict, coverages, header strings,
+    changed) where `changed` maps cid -> [(start, end)] OUTPUT intervals
+    whose consensus differs from the input backbone.
+
+    `restrict`: optional cid -> [(start, end)] input intervals. Windows
+    outside every interval short-circuit to their backbone (the targeted
+    refinement pass re-polishes only regions the previous pass was still
+    changing); contigs with no active window pass through unfiltered.
     """
     all_alignments = map_reads_to_contigs(contigs, reads,
                                           read_sketches=read_sketches,
@@ -596,6 +603,18 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
         int(np.ceil(seq.shape[0] / WINDOW_LEN)))]
         for cid, seq in contigs.items()}
     read_map = {r[0]: r for r in reads}
+
+    active: dict | None = None
+    if restrict is not None:
+        active = {}
+        for cid, seq in contigs.items():
+            n_windows = len(window_seqs[cid])
+            mask = np.zeros(n_windows, bool)
+            for (s, e) in restrict.get(cid, ()):
+                w0 = max(0, int(s) // WINDOW_LEN)
+                w1 = min(n_windows, int(e) // WINDOW_LEN + 1)
+                mask[w0:w1] = True
+            active[cid] = mask
 
     # filtered (read, alignment) work list, oracle iteration order
     items = []
@@ -646,6 +665,9 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
                 wid = ft // WINDOW_LEN
                 if wid >= len(pool):
                     continue
+                if active is not None and \
+                        not active[al.contig_index][wid]:
+                    continue
                 ws = wid * WINDOW_LEN
                 frag = seq[fq:lq].tobytes()
                 frag_qual = qual[fq:lq].tobytes() if qual is not None \
@@ -661,6 +683,9 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
                     al, seq, qual, contigs[al.contig_index]):
                 if wid >= len(window_seqs[al.contig_index]):
                     continue
+                if active is not None and \
+                        not active[al.contig_index][wid]:
+                    continue
                 index_window(window_seqs[al.contig_index][wid],
                              Window(frag, fq, ps, pe, identity))
 
@@ -674,6 +699,9 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
             ws = wid * WINDOW_LEN
             we = min(seq.shape[0], ws + WINDOW_LEN)
             backbone = seq[ws:we].tobytes()
+            if active is not None and not active[cid][wid]:
+                results[(cid, wid)] = backbone
+                continue
             if len(windows) < 2:
                 results[(cid, wid)] = backbone
                 continue
@@ -692,22 +720,39 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
     out_contigs: dict = {}
     out_headers: dict = {}
     header_strings: dict = {}
+    changed: dict = {}
     for cid, contig_windows in window_seqs.items():
-        parts = [results[(cid, wid)] for wid in range(len(contig_windows))]
+        seq = contigs[cid]
+        parts = []
+        out_off = 0
+        cid_changed = []
+        for wid in range(len(contig_windows)):
+            part = results[(cid, wid)]
+            ws = wid * WINDOW_LEN
+            backbone = seq[ws:min(seq.shape[0], ws + WINDOW_LEN)].tobytes()
+            if part != backbone:
+                cid_changed.append((out_off, out_off + len(part)))
+            parts.append(part)
+            out_off += len(part)
         contig_seq = b"".join(parts)
         length = len(contig_seq)
         coverage = contig_coverages.get(cid, 0.0)
-        if coverage <= min_contig_coverage:
-            continue
-        if length < min_contig_length:
-            continue
-        if length < 7500 and coverage < 4:
-            continue
+        passthrough = (active is not None and not active[cid].any())
+        if not passthrough:
+            if coverage <= min_contig_coverage:
+                continue
+            if length < min_contig_length:
+                continue
+            if length < 7500 and coverage < 4:
+                continue
         orig_index, is_circular = headers[cid]
         out_contigs[cid] = np.frombuffer(contig_seq, np.uint8)
         out_headers[cid] = (orig_index, is_circular)
+        if cid_changed:
+            changed[cid] = cid_changed
         if final_headers:
             circ = "yes" if is_circular else "no"
             header_strings[cid] = (f"ctg{orig_index} length={length} "
                                    f"coverage={coverage:.2f} circular={circ}")
-    return out_contigs, out_headers, contig_coverages, header_strings
+    return (out_contigs, out_headers, contig_coverages, header_strings,
+            changed)

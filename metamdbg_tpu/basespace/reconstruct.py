@@ -148,15 +148,37 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
         for r in reads:
             partition_reads.append((r, reads[r], quals[r]))
 
-        # two polishing passes (ContigPolisher::execute2)
+        # two polishing passes (ContigPolisher::execute2), then a targeted
+        # refinement pass over the regions pass 2 was still changing —
+        # indel-dense (ONT) consensus sometimes needs one more local
+        # iteration to converge; re-polishing only the active windows costs
+        # a remap plus a handful of window POAs.
+        # METAMDBG_TPU_POLISH_PASSES / _POLISH_REFINE=0 override.
+        n_passes = int(os.environ.get("METAMDBG_TPU_POLISH_PASSES", "2"))
+        refine = os.environ.get("METAMDBG_TPU_POLISH_REFINE", "1") != "0"
         sketches = dict(tiler._sketches)
-        c0, h0, cov0, _ = polisher_mod.polish_pass(
-            partition_contigs, partition_headers, partition_reads,
-            min_contig_length, min_contig_coverage, final_headers=False,
-            n_threads=n_threads, read_sketches=sketches)
-        c1, h1, cov1, _ = polisher_mod.polish_pass(
-            c0, h0, partition_reads, min_contig_length, min_contig_coverage,
-            final_headers=True, n_threads=n_threads, read_sketches=sketches)
+        c1, h1 = partition_contigs, partition_headers
+        cov1: dict = {}
+        changed: dict = {}
+        for p in range(max(n_passes, 1)):
+            c1, h1, cov1, _, changed = polisher_mod.polish_pass(
+                c1, h1, partition_reads, min_contig_length,
+                min_contig_coverage, final_headers=(p == n_passes - 1),
+                n_threads=n_threads, read_sketches=sketches)
+        if refine and changed:
+            margin = polisher_mod.WINDOW_LEN
+            restrict = {cid: [(max(0, s - margin), e + margin)
+                              for (s, e) in ivals]
+                        for cid, ivals in changed.items()}
+            log.info("  Polish refinement: %d contigs, %d active regions",
+                     len(restrict),
+                     sum(len(v) for v in restrict.values()))
+            c1, h1, cov_r, _, _ = polisher_mod.polish_pass(
+                c1, h1, partition_reads, min_contig_length,
+                min_contig_coverage, final_headers=True,
+                n_threads=n_threads, read_sketches=sketches,
+                restrict=restrict)
+            cov1.update(cov_r)
         for cid in c1:
             polished_contigs[cid] = c1[cid]
             polished_headers[cid] = h1[cid]

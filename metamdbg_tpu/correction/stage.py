@@ -68,7 +68,13 @@ def apply_density_threshold(read: SimpleRead, density: float) -> SimpleRead:
 
 
 def compute_max_memory(nb_bases: int) -> int:
-    """Affine RAM model (ReadCorrection.hpp:1788-1817)."""
+    """Affine RAM model (ReadCorrection.hpp:1788-1817).
+
+    METAMDBG_TPU_CORRECTION_MEMORY_GB overrides the model so scale tests
+    can force multi-partition correction on small inputs."""
+    ovr = os.environ.get("METAMDBG_TPU_CORRECTION_MEMORY_GB")
+    if ovr:
+        return int(float(ovr) * 1_000_000_000)
     x1, y1 = np.float32(MAX_MEMORY_BASE_GB), np.float32(50.0)
     x2, y2 = np.float32(250.0), np.float32(5000.0)
     a = (y2 - y1) / (x2 - x1)
@@ -228,6 +234,9 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
         cur_memory += memory_increased
         if pass_no > 10:
             break
+
+    log.info("correction partitions: %d (max memory %.2f GB)",
+             len(partitions), float(cur_memory) / 1e9)
 
     # ---- correction (on re-sketched correction-density reads) ----
     high_reads = sketch_high_density_reads(input_paths, params, repetitive)

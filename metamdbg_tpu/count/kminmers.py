@@ -192,7 +192,11 @@ def _iter_read_chunks(reads, k: int, budget_rows: int):
 
 
 def _count_kminmers_bounded(reads, k, min_abundance, max_table_bytes):
+    import logging
     budget_rows = max(1, max_table_bytes // (k * 4) // 4)
+    logging.getLogger("metamdbg_tpu").info(
+        "bounded k-min-mer counting: table budget %.2f GB (%d rows/chunk)",
+        max_table_bytes / (1 << 30), budget_rows)
     uniq = np.zeros((0, k), np.uint32)
     counts = np.zeros(0, np.uint32)
     for chunk in _iter_read_chunks(reads, k, budget_rows):

@@ -56,8 +56,10 @@ def _record(name, ours, ref):
 def _assert_not_worse(ours, ref):
     assert ours["genome_fraction"] >= ref["genome_fraction"] - 0.002, \
         (ours, ref)
+    # tight bound (VERDICT r3 next-#5): at most the reference's error rate
+    # plus 0.05/100kb of slack (1-2 events at these scales)
     assert ours["error_events_per_100kb"] <= \
-        ref["error_events_per_100kb"] * 1.5 + 0.5, (ours, ref)
+        ref["error_events_per_100kb"] + 0.05, (ours, ref)
     assert ours["misassembly_switches"] <= ref["misassembly_switches"], \
         (ours, ref)
     assert ours["n_contigs"] <= ref["n_contigs"] + 2, (ours, ref)

@@ -50,18 +50,19 @@ def test_polish_pass_native_matches_oracle(monkeypatch, seed, error_rate,
     contigs, headers, reads = _mk_inputs(seed, error_rate=error_rate,
                                          with_qual=with_qual)
 
-    c_native, h_native, cov_native, _ = polisher.polish_pass(
+    c_native, h_native, cov_native, _, ch_native = polisher.polish_pass(
         dict(contigs), dict(headers), reads, min_contig_length=100,
         min_contig_coverage=1.0, final_headers=False, n_threads=2)
 
     monkeypatch.setattr(window_cut_native, "window_cut_batch",
                         lambda *a, **k: None)
     monkeypatch.setattr(overlap_native, "available", lambda: False)
-    c_oracle, h_oracle, cov_oracle, _ = polisher.polish_pass(
+    c_oracle, h_oracle, cov_oracle, _, ch_oracle = polisher.polish_pass(
         dict(contigs), dict(headers), reads, min_contig_length=100,
         min_contig_coverage=1.0, final_headers=False, n_threads=2)
 
     assert _digest(c_native) == _digest(c_oracle)
     assert h_native == h_oracle
     assert cov_native == cov_oracle
+    assert ch_native == ch_oracle
     assert len(c_native) > 0  # the case must actually polish something
