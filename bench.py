@@ -146,9 +146,36 @@ def _kernel_bench():
         assert int(r) == total
         return n_reads * read_len * iters / (time.perf_counter() - t0)
 
-    bases_per_s = rate(jax.jit(
-        lambda c, ln: sketch_batch(c, ln, l=l, density=density)
-        ["selected"].sum()))
+    fn = jax.jit(lambda c, ln: sketch_batch(c, ln, l=l, density=density)
+                 ["selected"].sum())
+    bases_per_s = rate(fn)
+
+    # measured roofline (VERDICT r3 next-#6): XLA's own cost model for the
+    # compiled kernel instead of the hand-estimated ops/base
+    cost = {}
+    try:
+        compiled = fn.lower(codes, lengths).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        n_bases = float(n_reads * read_len)
+        batches_per_s = bases_per_s / n_bases
+        cost = {
+            "xla_flops_per_base": round(flops / n_bases, 1),
+            "xla_bytes_per_base": round(bytes_acc / n_bases, 1),
+            "achieved_tops": round(flops * batches_per_s / 1e12, 3),
+            "achieved_gbps": round(bytes_acc * batches_per_s / 1e9, 1),
+            # v5e ceilings: ~394 TOPS bf16 MXU (unused here), VPU int32
+            # ~3.85 TOPS, HBM ~819 GB/s
+            "vpu_util_measured": round(
+                flops * batches_per_s / 3.85e12, 4),
+            "hbm_util_measured": round(
+                bytes_acc * batches_per_s / 819e9, 4),
+        }
+    except Exception:
+        pass
 
     # the Pallas twin (bit-identical; XLA-fused kernel is production —
     # see kernels/sketch_pallas.py for the measured comparison)
@@ -169,7 +196,8 @@ def _kernel_bench():
     ops_per_base = 200.0
     vpu_peak = 8 * 128 * 4 * 0.94e9
     vpu_util = bases_per_s * ops_per_base / vpu_peak
-    return bases_per_s, pallas_bases_per_s, vpu_util, str(jax.devices()[0])
+    return (bases_per_s, pallas_bases_per_s, vpu_util, cost,
+            str(jax.devices()[0]))
 
 
 def main():
@@ -194,7 +222,8 @@ def main():
                                             "bench_out_ont")
     ont_ref_wall = _run_reference(ont_reads, "--in-ont", "bench_ref_ont")
 
-    kernel_bases_per_s, pallas_bases_per_s, vpu_util, device = _kernel_bench()
+    (kernel_bases_per_s, pallas_bases_per_s, vpu_util, kernel_cost,
+     device) = _kernel_bench()
 
     print(json.dumps({
         "metric": "e2e_pipeline_bases_per_s",
@@ -217,6 +246,7 @@ def main():
         "sketch_kernel_bases_per_s": round(kernel_bases_per_s, 1),
         "sketch_kernel_kminmers_per_s": round(kernel_bases_per_s * 0.005, 1),
         "sketch_kernel_vpu_util_est": round(vpu_util, 4),
+        "sketch_kernel_cost_analysis": kernel_cost or None,
         "sketch_pallas_bases_per_s": round(pallas_bases_per_s, 1)
         if pallas_bases_per_s else None,
         "device": device,

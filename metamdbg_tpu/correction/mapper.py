@@ -178,10 +178,13 @@ class ReadMapperResult:
 
 def run_read_mapper(reads, nb_minimizers_per_chunk: int, max_chaining_band: int,
                     used_coverage: int = USED_COVERAGE_FOR_CORRECTION,
-                    alignment_path: str | None = None):
+                    alignment_path: str | None = None, mesh=None):
     """reads: list of io.records.MinimizerRead (read_data_init.txt order).
 
     Returns dict read_index -> np.ndarray of aligned read indexes (sorted).
+    With `mesh` the pair-table join runs sharded over the device mesh
+    (parallel/pair_join.py) — byte-identical output
+    (tests/test_pair_join.py).
     """
     pair_data = [read_pairs(r) for r in reads]
     sizes = [r.minimizers.shape[0] for r in reads]
@@ -204,7 +207,7 @@ def run_read_mapper(reads, nb_minimizers_per_chunk: int, max_chaining_band: int,
     accum: dict[int, list] = {}
     for chunk in chunks:
         _process_chunk(chunk, reads, pair_data, max_chaining_band,
-                       used_coverage, accum)
+                       used_coverage, accum, mesh=mesh)
 
     # merge phase: recompute scores from match positions, re-select
     result: dict[int, np.ndarray] = {}
@@ -239,11 +242,11 @@ def _score_from_positions(positions: np.ndarray) -> int:
 
 
 def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
-                   accum):
+                   accum, mesh=None):
     from ..utils import devwarm
     use_device = _device_enabled() and \
         devwarm.use_device("correction chain DP")
-    # build the sorted pair table over chunk reads
+    # build the pair table over chunk reads
     tbl_pairs = []
     tbl_reads = []
     tbl_pos = []
@@ -260,11 +263,39 @@ def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
     tbl_reads = np.concatenate(tbl_reads)
     tbl_pos = np.concatenate(tbl_pos)
     tbl_rev = np.concatenate(tbl_rev)
-    order = np.argsort(tbl_pairs, kind="stable")
-    tbl_pairs = tbl_pairs[order]
-    tbl_reads = tbl_reads[order]
-    tbl_pos = tbl_pos[order]
-    tbl_rev = tbl_rev[order]
+
+    mesh_results = None
+    if mesh is not None and mesh.devices.size > 1:
+        # sharded join: one negotiated all_to_all exchange for the whole
+        # chunk; matches come back as ascending original-table indices,
+        # identical to the sorted-table searchsorted expansion below
+        from ..parallel.pair_join import pair_join_mesh
+        q_parts = []
+        q_reads = []
+        for read_index, read in enumerate(reads):
+            if read.minimizers.shape[0] < MIN_READ_MINIMIZERS:
+                continue
+            packed = pair_data[read_index][0]
+            if packed.shape[0] == 0:
+                continue
+            q_parts.append(packed)
+            q_reads.append(read_index)
+        if not q_parts:
+            return
+        q_cat = np.concatenate(q_parts)
+        q_lens = np.fromiter((p.shape[0] for p in q_parts), np.int64,
+                             len(q_parts))
+        q_offs = np.concatenate([[0], np.cumsum(q_lens)])
+        counts_all, matches_all = pair_join_mesh(mesh, tbl_pairs, q_cat)
+        moffs = np.concatenate([[0], np.cumsum(counts_all)])
+        q_slot = {r: i for i, r in enumerate(q_reads)}
+        mesh_results = (q_slot, q_offs, counts_all, matches_all, moffs)
+    else:
+        order = np.argsort(tbl_pairs, kind="stable")
+        tbl_pairs = tbl_pairs[order]
+        tbl_reads = tbl_reads[order]
+        tbl_pos = tbl_pos[order]
+        tbl_rev = tbl_rev[order]
 
     # query every read against the table (ReadMapper.hpp:632-845)
     for read_index, read in enumerate(reads):
@@ -273,17 +304,27 @@ def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
         packed, centers, q_rev = pair_data[read_index]
         if packed.shape[0] == 0:
             continue
-        lo = np.searchsorted(tbl_pairs, packed, side="left")
-        hi = np.searchsorted(tbl_pairs, packed, side="right")
-        counts = hi - lo
-        total = int(counts.sum())
-        if total == 0:
-            continue
-        # expand ranges into anchor arrays (gather order: query index asc,
-        # table order asc — matches the reference's loops)
-        q_sel = np.repeat(np.arange(packed.shape[0]), counts)
-        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        j = np.repeat(lo - offs, counts) + np.arange(total)
+        if mesh_results is not None:
+            q_slot, q_offs, counts_all, matches_all, moffs = mesh_results
+            ri = q_slot[read_index]
+            counts = counts_all[q_offs[ri]:q_offs[ri + 1]]
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            q_sel = np.repeat(np.arange(packed.shape[0]), counts)
+            j = matches_all[moffs[q_offs[ri]]:moffs[q_offs[ri + 1]]]
+        else:
+            lo = np.searchsorted(tbl_pairs, packed, side="left")
+            hi = np.searchsorted(tbl_pairs, packed, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            # expand ranges into anchor arrays (gather order: query index
+            # asc, table order asc — matches the reference's loops)
+            q_sel = np.repeat(np.arange(packed.shape[0]), counts)
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            j = np.repeat(lo - offs, counts) + np.arange(total)
         t_read = tbl_reads[j]
         keep = t_read != read_index
         if not keep.any():

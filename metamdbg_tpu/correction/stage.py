@@ -187,7 +187,7 @@ def _pool_correct_one(read_index: int):
 def run_read_correction(tmp_dir: str, params: records.Parameters,
                         min_identity: float = 0.96,
                         min_overlap_length: int = 1000,
-                        n_threads: int = 1):
+                        n_threads: int = 1, mesh=None):
     stats = records.ReadStats.load(os.path.join(tmp_dir, "read_stats.txt"))
     reads = []
     for r in records.read_read_data(
@@ -215,7 +215,8 @@ def run_read_correction(tmp_dir: str, params: records.Parameters,
 
     alignments = mapper.run_read_mapper(
         reads, chunk_size, band,
-        alignment_path=os.path.join(tmp_dir, "readAlignmentsLowDensity.bin"))
+        alignment_path=os.path.join(tmp_dir, "readAlignmentsLowDensity.bin"),
+        mesh=mesh)
 
     # ---- partitioning (ReadCorrection.hpp:1965-1994, 4519-4713) ----
     align_lists = [alignments.get(i, np.zeros(0, np.uint32)).tolist()

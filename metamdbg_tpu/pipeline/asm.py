@@ -167,12 +167,13 @@ class Pipeline:
                 from ..correction import stage as correction_stage
                 params = self.make_params(self.first_k, self.first_k)
                 params.save(os.path.join(self.tmp_dir, "parameters.gz"))
+                from ..parallel import production_mesh
                 with self._stage("readCorrection"):
                     correction_stage.run_read_correction(
                         self.tmp_dir, params,
                         min_identity=self.read_correction_min_identity,
                         min_overlap_length=self.read_correction_min_overlap,
-                        n_threads=self.n_threads)
+                        n_threads=self.n_threads, mesh=production_mesh())
                 self._mark("correctReads")
 
         prev_k = self.first_k

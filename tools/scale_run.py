@@ -22,11 +22,13 @@ SCRATCH = os.path.join(ROOT, "scratch", "scale_r04")
 REF_BIN = os.path.join(ROOT, ".refbuild", "build", "bin", "metaMDBG")
 OUT_JSON = os.path.join(ROOT, "SCALE_r04.json")
 
-# force every bounded path on inputs this size:
+# force every bounded path on inputs this size (minimizer space is ~200x
+# smaller than base space, so the triggers must be far below the
+# production 20 GB / model / 4 GB defaults):
 BOUND_ENV = {
-    "METAMDBG_TPU_COUNT_TABLE_GB": "0.25",     # chunked first-pass counting
-    "METAMDBG_TPU_CORRECTION_MEMORY_GB": "1.0",  # multi-partition correction
-    "METAMDBG_TPU_MAX_PARTITION_GB": "1.5",    # multi-partition polishing
+    "METAMDBG_TPU_COUNT_TABLE_GB": "0.02",     # chunked first-pass counting
+    "METAMDBG_TPU_CORRECTION_MEMORY_GB": "0.5",  # multi-partition correction
+    "METAMDBG_TPU_MAX_PARTITION_GB": "0.5",    # multi-partition polishing
 }
 
 DATASETS = {
