@@ -20,7 +20,15 @@ def load_minimizer_reads(path: str):
 def run_graph_second_pass(out_dir: str, k: int, params: records.Parameters):
     """`metaMDBG graph` at k == firstK+1 (src/graph/CreateMdbg.cpp:386-416):
     full re-count over reads + previous contigs with refined abundances;
-    no rescue."""
+    no rescue.
+
+    Mesh note (r4 decision): unlike the first pass, this stage gets no
+    mesh path on purpose. Its abundances come from the refined-abundance
+    index join, NOT from window counts, and its artifacts need the unique
+    ROWS materialized host-side either way — a sharded count table here
+    would compute counts nobody consumes. The mesh-capable stages are
+    first-pass counting (count_kminmers_mesh) and the correction mapper's
+    pair-table join (parallel/pair_join.py)."""
     import struct
 
     from ..count import refined as refined_mod
