@@ -27,7 +27,7 @@ OUT_JSON = os.path.join(ROOT, "SCALE_r04.json")
 # production 20 GB / model / 4 GB defaults):
 BOUND_ENV = {
     "METAMDBG_TPU_COUNT_TABLE_GB": "0.02",     # chunked first-pass counting
-    "METAMDBG_TPU_CORRECTION_MEMORY_GB": "0.5",  # multi-partition correction
+    "METAMDBG_TPU_CORRECTION_MEMORY_GB": "0.1",  # multi-partition correction
     "METAMDBG_TPU_MAX_PARTITION_GB": "0.5",    # multi-partition polishing
 }
 
