@@ -79,8 +79,31 @@ def _load():
         u32p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, u64p,
         ctypes.c_int32]
     lib.window_hash_batch.restype = ctypes.c_int64
+    lib.row_hash_batch.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int32, u64p, u64p, ctypes.c_int32]
+    lib.row_hash_batch.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
+
+
+def row_hash_batch(rows: np.ndarray, n_threads: int | None = None):
+    """Plain murmur128 of (N, w) u32 rows, seed 0 (native/sketch.cpp
+    row_hash_batch; utils/hashing.murmur128_u32rows is the oracle).
+    Returns (h1 u64, h2 u64) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.uint32)
+    n, w = rows.shape
+    if n_threads is None:
+        n_threads = 1 if n < 65536 else (os.cpu_count() or 1)
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    lib.row_hash_batch(
+        _ptr(rows, ctypes.c_uint32), np.int64(n), np.int32(w),
+        _ptr(h1, ctypes.c_uint64), _ptr(h2, ctypes.c_uint64),
+        np.int32(n_threads))
+    return h1, h2
 
 
 def window_hash_batch(cat: np.ndarray, starts: np.ndarray, w: int,

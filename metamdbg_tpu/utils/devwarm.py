@@ -36,11 +36,13 @@ _roundtrip_seconds: float | None = None
 _slow_logged = False
 
 # A healthy chip (local or well-tunneled) completes a tiny dispatch+readback
-# in well under this; a congested relay takes seconds per roundtrip, which
+# in well under this; a congested relay takes 0.3+ s per roundtrip, which
 # inverts every dispatch-bound stage (observed: an 86 Mbp ONT run crawling
-# at 8% CPU, blocked in per-batch readbacks). Above the bound the adaptive
-# gates stay on their bit-identical host paths.
-_MAX_DISPATCH_SECONDS = 0.25
+# at 8% CPU, blocked in per-batch readbacks; a 1 Mb bench run at 5x its
+# host-only wall with a probe that momentarily passed a looser 0.25 s
+# bound). The probe takes the min of three roundtrips. Above the bound the
+# adaptive gates stay on their bit-identical host paths.
+_MAX_DISPATCH_SECONDS = 0.1
 
 
 def configure_jax(jax=None):
@@ -84,11 +86,16 @@ def _warm():
         x = jax.device_put(np.zeros(8, np.uint8))
         np.asarray(x)  # first readback = pool claim on tunneled backends
         _claim_seconds = time.perf_counter() - t0
-        # second roundtrip measures steady-state dispatch latency (the claim
-        # cost is already paid); this is what per-batch stages actually see
-        t1 = time.perf_counter()
-        np.asarray(jax.device_put(np.zeros(8, np.uint8)) + np.uint8(1))
-        _roundtrip_seconds = time.perf_counter() - t1
+        # steady-state dispatch latency (the claim cost is already paid);
+        # min of three so one scheduler hiccup doesn't condemn the device,
+        # while a congested relay fails all three
+        best = None
+        for _ in range(3):
+            t1 = time.perf_counter()
+            np.asarray(jax.device_put(np.zeros(8, np.uint8)) + np.uint8(1))
+            dt = time.perf_counter() - t1
+            best = dt if best is None else min(best, dt)
+        _roundtrip_seconds = best
         if _claim_seconds > 5.0:
             log.info("device claim completed in %.1f s (overlapped)",
                      _claim_seconds)

@@ -81,6 +81,14 @@ def murmur128_u32rows(rows: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.n
     if rows.ndim == 1:
         rows = rows[None, :]
     n, k = rows.shape
+    if seed == 0 and n and k:
+        # native fast path (bit-identical; the numpy path below is the
+        # oracle): per-call numpy overhead on small row sets dominated the
+        # multi-k ladder at small scales
+        from ..sketch import native_sketch
+        res = native_sketch.row_hash_batch(rows)
+        if res is not None:
+            return res
     length = 4 * k
     nblocks = length // 16          # = k // 4
     rem = k % 4                     # leftover u32s -> tail of 4*rem bytes

@@ -504,6 +504,22 @@ static void Murmur128Window(const uint32_t* s, int32_t w, int rev,
   *out2 = h2;
 }
 
+// Plain (non-normalized) MurmurHash3_x64_128 of contiguous u32 rows, seed 0
+// (utils/hashing.murmur128_u32rows is the numpy oracle; the numpy path's
+// per-call overhead on small row sets dominated the multi-k ladder at
+// small scales — 30k calls / 24 s on a 30 Mbp ONT run).
+int64_t row_hash_batch(const uint32_t* cat, int64_t n, int32_t w,
+                       uint64_t* out_h1, uint64_t* out_h2,
+                       int32_t n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    Murmur128Window(cat + i * w, w, 0, &out_h1[i], &out_h2[i]);
+  }
+  return 0;
+}
+
 int64_t window_hash_batch(const uint32_t* cat, const int64_t* starts,
                           int64_t n, int32_t w, uint64_t* out_h1,
                           uint64_t* out_h2, int32_t n_threads) {
