@@ -68,8 +68,8 @@ def _dataset_ont():
 
 
 def _stage_breakdown(tmp_dir):
-    out = {"readSelection": 0.0, "graph": 0.0, "postprocess": 0.0,
-           "toBasespace": 0.0}
+    out = {"readSelection": 0.0, "readCorrection": 0.0, "graph": 0.0,
+           "postprocess": 0.0, "toBasespace": 0.0}
     track = os.path.join(tmp_dir, "memoryTrack.txt")
     if not os.path.exists(track):
         return out
@@ -78,10 +78,8 @@ def _stage_breakdown(tmp_dir):
         if len(parts) < 2:
             continue
         name, secs = parts[0], float(parts[1].rstrip("s\n"))
-        if name == "readSelection":
-            out["readSelection"] += secs
-        elif name == "toBasespace":
-            out["toBasespace"] += secs
+        if name in ("readSelection", "readCorrection", "toBasespace"):
+            out[name] += secs
         elif name.startswith(("derep", "remove")):
             out["postprocess"] += secs
         else:
