@@ -167,9 +167,19 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
                 n_threads=n_threads, read_sketches=sketches)
         if refine and changed:
             margin = polisher_mod.WINDOW_LEN
-            restrict = {cid: [(max(0, s - margin), e + margin)
-                              for (s, e) in ivals]
-                        for cid, ivals in changed.items()}
+            if params.data_type == 1:
+                # ONT: indel fixes shift every downstream window's grid
+                # alignment, and indel-dense consensus converges slower —
+                # re-polish changed contigs fully (unchanged contigs still
+                # pass through untouched). Measured: this reaches the
+                # reference's error rate where the targeted scope left one
+                # stable mid-window deletion behind.
+                restrict = {cid: [(0, int(c1[cid].shape[0]))]
+                            for cid in changed if cid in c1}
+            else:
+                restrict = {cid: [(max(0, s - margin), e + margin)
+                                  for (s, e) in ivals]
+                            for cid, ivals in changed.items()}
             log.info("  Polish refinement: %d contigs, %d active regions",
                      len(restrict),
                      sum(len(v) for v in restrict.values()))
