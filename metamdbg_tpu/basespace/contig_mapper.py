@@ -182,8 +182,7 @@ def map_reads_to_contigs(read_file: str, contig_file: str, output_file: str,
     index.build()
 
     from ..utils import devwarm
-    use_device = (os.environ.get("METAMDBG_DEVICE_CHAIN", "1") != "0"
-                  and devwarm.use_device("contig chain DP"))
+    chain_enabled = os.environ.get("METAMDBG_DEVICE_CHAIN", "1") != "0"
 
     out = []
     fmt = struct.Struct("<IIIIIIBiIII")
@@ -192,12 +191,20 @@ def map_reads_to_contigs(read_file: str, contig_file: str, output_file: str,
     groups = []          # (rec_slot, contig, a_ref, a_q, a_rev)
     CHUNK_RECS = 65536   # RAM bound: chain + flush per chunk
 
-    def flush():
+    def _emit(use_device):
         for mapping in _chain_and_select(recs, groups, avg_dist, use_device):
             if mapping is None:
                 continue
             out.append(mapping)
             f.write(fmt.pack(*mapping))
+
+    def flush():
+        # per-chunk calibrated routing (mid-stage fallback; utils/devwarm)
+        if not chain_enabled:
+            _emit(False)
+        else:
+            with devwarm.gate("contig chain DP", max(len(groups), 1)) as g:
+                _emit(g.device)
         recs.clear()
         groups.clear()
 

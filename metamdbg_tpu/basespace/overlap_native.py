@@ -9,6 +9,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -96,11 +97,21 @@ class PairIndex:
 class _PairScratch:
     """Reusable output buffers + cached pointers for map_pair."""
 
-    CHAIN_CAP = 64
-
     def __init__(self):
-        n = self.CHAIN_CAP
         self.chain_offs = np.zeros(2, np.int64)
+        self.needed = np.zeros(2, np.int64)
+        self.exclude = np.full(1, -1, np.int64)
+        self.q_offs = np.zeros(2, np.int64)
+        self.q_lens = np.zeros(1, np.int64)
+        self.chain_cap = 0
+        self.anchor_cap = 1 << 14
+        self.aq = np.empty(self.anchor_cap, np.int64)
+        self.at = np.empty(self.anchor_cap, np.int64)
+        self._alloc_chains(64)
+        self._grow_anchor_ptrs()
+
+    def _alloc_chains(self, n):
+        self.chain_cap = n
         self.qs = np.empty(n, np.int64)
         self.qe = np.empty(n, np.int64)
         self.ts = np.empty(n, np.int64)
@@ -110,13 +121,6 @@ class _PairScratch:
         self.tid = np.empty(n, np.int32)
         self.rev = np.empty(n, np.uint8)
         self.anchor_offs = np.empty(n + 1, np.int64)
-        self.needed = np.zeros(2, np.int64)
-        self.exclude = np.full(1, -1, np.int64)
-        self.q_offs = np.zeros(2, np.int64)
-        self.q_lens = np.zeros(1, np.int64)
-        self.anchor_cap = 1 << 14
-        self.aq = np.empty(self.anchor_cap, np.int64)
-        self.at = np.empty(self.anchor_cap, np.int64)
         self._fixed = dict(
             chain_offs=_ptr(self.chain_offs, ctypes.c_int64),
             qs=_ptr(self.qs, ctypes.c_int64),
@@ -132,11 +136,14 @@ class _PairScratch:
             exclude=_ptr(self.exclude, ctypes.c_int64),
             q_offs=_ptr(self.q_offs, ctypes.c_int64),
             q_lens=_ptr(self.q_lens, ctypes.c_int64))
-        self._grow_anchor_ptrs()
 
     def _grow_anchor_ptrs(self):
         self.p_aq = _ptr(self.aq, ctypes.c_int64)
         self.p_at = _ptr(self.at, ctypes.c_int64)
+
+    def ensure_chain_cap(self, n):
+        if n > self.chain_cap:
+            self._alloc_chains(max(n, 2 * self.chain_cap))
 
     def ensure_anchor_cap(self, n):
         if n > self.anchor_cap:
@@ -146,7 +153,10 @@ class _PairScratch:
             self._grow_anchor_ptrs()
 
 
-_SCRATCH = None
+# per-thread scratch (ADVICE r4): the fork-based pools each get their own
+# copy anyway, but two Python *threads* sharing one singleton would corrupt
+# each other's buffers mid-call
+_TLS = threading.local()
 
 
 def map_pair(pindex: PairIndex, q_vals, q_pos, q_dirs, q_len, density,
@@ -154,18 +164,18 @@ def map_pair(pindex: PairIndex, q_vals, q_pos, q_dirs, q_len, density,
              align_l=15):
     """Single query vs a PairIndex; returns the map_sketched_batch chain
     tuples for that query, or None when the library is unavailable."""
-    global _SCRATCH
     lib = _load()
     if lib is None:
         return None
-    if _SCRATCH is None:
-        _SCRATCH = _PairScratch()
-    s = _SCRATCH
+    s = getattr(_TLS, "scratch", None)
+    if s is None:
+        s = _TLS.scratch = _PairScratch()
     nq = q_vals.shape[0]
     s.q_offs[1] = nq
     s.q_lens[0] = q_len
-    f = s._fixed
-    for _attempt in range(3):
+    s.ensure_chain_cap(2 * max_chains)  # floor; retries grow from needed[0]
+    for _attempt in range(4):
+        f = s._fixed
         rc = lib.ovl_map_batch(
             pindex.p_ivals, pindex.p_itids, pindex.p_ipos, pindex.p_idirs,
             np.int64(pindex.ni), pindex.p_tlen,
@@ -176,10 +186,14 @@ def map_pair(pindex: PairIndex, q_vals, q_pos, q_dirs, q_len, density,
             np.int64(band), np.int32(max_chains), np.int64(min_anchors),
             np.int32(align_l), f["chain_offs"], f["qs"], f["qe"], f["ts"],
             f["te"], f["matches"], f["identity"], f["tid"], f["rev"],
-            np.int64(s.CHAIN_CAP), f["anchor_offs"], s.p_aq, s.p_at,
+            np.int64(s.chain_cap), f["anchor_offs"], s.p_aq, s.p_at,
             np.int64(s.anchor_cap), f["needed"], np.int32(1))
         if rc >= 0:
             break
+        # grow BOTH capacities from the engine's reported needs (ADVICE
+        # r4: growing only anchors could exhaust the retries even though
+        # needed[0] says exactly how many chain slots are required)
+        s.ensure_chain_cap(int(s.needed[0]))
         s.ensure_anchor_cap(int(s.needed[1]))
     else:
         raise RuntimeError("map_pair capacity retry failed")

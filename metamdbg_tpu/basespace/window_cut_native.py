@@ -114,7 +114,7 @@ def window_cut_batch(items, contigs, window_len: int, align_l: int,
     out_ft = np.empty(cap, np.int64)
     out_lt = np.empty(cap, np.int64)
     out_dropped = np.zeros(n, np.int32)
-    lib.window_cut_batch(
+    rc = lib.window_cut_batch(
         read_ptrs, _ptr(read_lens, ctypes.c_int64), contig_ptrs,
         _ptr(contig_lens, ctypes.c_int64), _ptr(aq, ctypes.c_int64),
         _ptr(at, ctypes.c_int64), _ptr(anchor_offs, ctypes.c_int64),
@@ -124,6 +124,13 @@ def window_cut_batch(items, contigs, window_len: int, align_l: int,
         _ptr(out_fq, ctypes.c_int64), _ptr(out_lq, ctypes.c_int64),
         _ptr(out_ft, ctypes.c_int64), _ptr(out_lt, ctypes.c_int64),
         _ptr(out_dropped, ctypes.c_int32), np.int32(n_threads))
+    # validate the exact-capacity contract (ADVICE r4): a C-side change
+    # emitting more fragments than the Python bound would have already
+    # overflowed the heap buffers — fail loudly rather than corrupt
+    if rc != int(out_offs[-1]) or rc > cap:
+        raise RuntimeError(
+            f"window_cut_batch emitted {rc} fragments "
+            f"(offsets say {int(out_offs[-1])}, capacity {cap})")
     del keep_alive
     out = []
     for i in range(n):

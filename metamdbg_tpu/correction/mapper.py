@@ -243,9 +243,22 @@ def _score_from_positions(positions: np.ndarray) -> int:
 
 def _process_chunk(chunk, reads, pair_data, max_chaining_band, used_coverage,
                    accum, mesh=None):
+    """Calibrated per-chunk device/host routing: the chain-DP twins are
+    bit-identical, so the gate is free to move mid-stage (utils/devwarm)."""
     from ..utils import devwarm
-    use_device = _device_enabled() and \
-        devwarm.use_device("correction chain DP")
+    if not _device_enabled():
+        return _process_chunk_impl(False, chunk, reads, pair_data,
+                                   max_chaining_band, used_coverage, accum,
+                                   mesh)
+    n_pairs = sum(pair_data[i][0].shape[0] for i in chunk)
+    with devwarm.gate("correction chain DP", n_pairs) as g:
+        return _process_chunk_impl(g.device, chunk, reads, pair_data,
+                                   max_chaining_band, used_coverage, accum,
+                                   mesh)
+
+
+def _process_chunk_impl(use_device, chunk, reads, pair_data,
+                        max_chaining_band, used_coverage, accum, mesh=None):
     # build the pair table over chunk reads
     tbl_pairs = []
     tbl_reads = []

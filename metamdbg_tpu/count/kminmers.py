@@ -114,9 +114,15 @@ def count_unique_rows(rows: np.ndarray):
     if (rows.shape[0] >= _DEVICE_COUNT_MIN_ROWS
             and not os.environ.get("METAMDBG_TPU_HOST_COUNT")):
         from ..utils import devwarm
-        if devwarm.use_device("device row counting"):
-            from ..kernels.count_jax import count_unique_rows_device
-            return count_unique_rows_device(np.ascontiguousarray(rows))
+        with devwarm.gate("device row counting", rows.shape[0]) as g:
+            if g.device:
+                from ..kernels.count_jax import count_unique_rows_device
+                return count_unique_rows_device(np.ascontiguousarray(rows))
+            return _count_unique_rows_host(rows)
+    return _count_unique_rows_host(rows)
+
+
+def _count_unique_rows_host(rows):
     order = sort_rows_lex(rows)
     s = rows[order]
     new_group = np.empty(s.shape[0], dtype=bool)

@@ -51,7 +51,10 @@ def global_count_input(mesh, rows: np.ndarray, lens: np.ndarray,
         pc = jax.process_count()
         pi = jax.process_index()
         n = rows.shape[0]
-        assert n % pc == 0, "padded rows must divide across processes"
+        if n % pc != 0:  # RuntimeError, not assert: stripped under -O and
+            # a mis-padded split would silently drop rows on the last host
+            raise RuntimeError(
+                f"padded rows ({n}) must divide across {pc} processes")
         per = n // pc
         local_rows = np.ascontiguousarray(rows[pi * per:(pi + 1) * per],
                                           np.uint32)

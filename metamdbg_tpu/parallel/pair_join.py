@@ -191,7 +191,11 @@ def pair_join_mesh(mesh: Mesh, tbl_pairs: np.ndarray, query_pairs: np.ndarray,
     (t_sorted_gid, q_gid, q_first, q_count, q_val, overflow) = _join_step(
         dev(thi), dev(tlo), dev(tgid), dev(tvalid), dev(qhi), dev(qlo),
         dev(qgid), dev(qvalid), ndev, tcap, qcap, axis, mesh)
-    assert int(overflow) == 0, "capacity negotiation must prevent overflow"
+    if int(overflow) != 0:  # not an assert: stripped under python -O, and
+        # silent overflow would drop matches and corrupt correction
+        raise RuntimeError(
+            "pair_join capacity negotiation overflowed: the _traffic/_route "
+            "symmetry invariant is broken")
 
     from .multihost import gather_to_hosts
     t_sorted_gid = gather_to_hosts(t_sorted_gid).reshape(ndev, -1)

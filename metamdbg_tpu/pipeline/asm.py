@@ -104,6 +104,10 @@ class Pipeline:
             f.write(f"{name}\t{dt:.2f}s\t{rss:.3f}GB\n")
         with open(os.path.join(self.tmp_dir, "perf.txt"), "w") as f:
             f.write(f"{rss:.3f}\n")
+        # device routing/health provenance (refreshed per stage so partial
+        # runs carry it too) — consumed by bench.py and the scale harness
+        from ..utils import devwarm
+        devwarm.dump_telemetry(os.path.join(self.tmp_dir, "device.json"))
         log.debug("stage %s: %.2fs, peak RSS %.3f GB", name, dt, rss)
 
     # -- checkpoints --------------------------------------------------------

@@ -70,27 +70,38 @@ def _sketch_chunk(sketcher, chunk, l, density, use_hpc, repetitive):
     chunk order. `pos` are k-mer indices in the RLE'd read."""
     from ..utils import devwarm
     rles = [rle.rle_encode(read.seq, use_hpc) for read in chunk]
-    if sketcher is not None and devwarm.use_device("batch sketching"):
-        coded = [kmers.base_codes(seq_rle) for seq_rle, _ in rles]
-        sketched = sketcher.sketch_many([c for c, _ in coded],
-                                        [b for _, b in coded])
-        return [(mins, pos, dirs, rles[i][1])
-                for i, (mins, pos, dirs) in enumerate(sketched)]
     coded = [kmers.base_codes(seq_rle) for seq_rle, _ in rles]
+    total_bases = sum(c.shape[0] for c, _ in coded)
+    if sketcher is not None:
+        # calibrated routing: the host twin is bit-identical, so the gate
+        # picks whichever side is measured faster on this machine/tunnel
+        with devwarm.gate("batch sketching", total_bases) as g:
+            if g.device:
+                sketched = sketcher.sketch_many([c for c, _ in coded],
+                                                [b for _, b in coded])
+                return [(mins, pos, dirs, rles[i][1])
+                        for i, (mins, pos, dirs) in enumerate(sketched)]
+            res = _sketch_chunk_host(coded, l, density, repetitive)
+        return [(vals, pos, dirs, rles[i][1])
+                for i, (vals, pos, dirs) in enumerate(res)]
+    res = _sketch_chunk_host(coded, l, density, repetitive)
+    return [(vals, pos, dirs, rles[i][1])
+            for i, (vals, pos, dirs) in enumerate(res)]
+
+
+def _sketch_chunk_host(coded, l, density, repetitive):
+    """Host twin of the device batch sketcher: native engine when built,
+    numpy otherwise. Returns [(mins, pos, dirs)] in chunk order."""
     from . import native_sketch
     if native_sketch.available():
         res = native_sketch.sketch_batch_native(
             [c for c, _ in coded], [b for _, b in coded], l, density,
             repetitive)
         if res is not None:
-            return [(vals, pos, dirs, rles[i][1])
-                    for i, (vals, pos, dirs) in enumerate(res)]
-    out = []
-    for (codes, bad), (_, rle_pos) in zip(coded, rles):
-        mins, pos, dirs = minimizers.select_minimizers_numpy(
-            codes, bad, l, density, repetitive)
-        out.append((mins, pos, dirs, rle_pos))
-    return out
+            return res
+    return [minimizers.select_minimizers_numpy(codes, bad, l, density,
+                                               repetitive)
+            for codes, bad in coded]
 
 
 def determine_repetitive_minimizers(input_paths, out_path: str, l: int,

