@@ -159,6 +159,64 @@ def test_gate_explores_losing_mode(reset_devwarm):
     assert seen_device >= 1  # the loser is re-tried periodically
 
 
+def test_forced_congestion_mid_run_falls_back_end_to_end(tmp_path):
+    """VERDICT r4 #1 'Done' criterion: inject relay congestion MID-RUN and
+    require (a) the policy to demote the device while stages are running,
+    (b) the assembly to complete without crawling, and (c) the output to be
+    byte-identical to a pure host run (the twins are bit-identical, so the
+    fallback is free)."""
+    import gzip
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import datagen
+
+    reads = tmp_path / "reads.fastq.gz"
+    genome = datagen.random_genome(400_000, seed=31)
+    datagen.write_fastq(str(reads), datagen.sample_reads(
+        genome, 22, 9_000, 0.001, seed=32))
+
+    def run(tag, extra_env):
+        out = tmp_path / tag
+        env = dict(os.environ)
+        env.pop("METAMDBG_TPU_REQUIRE_DEVICE", None)
+        env.pop("METAMDBG_TPU_HOST_ONLY", None)
+        env.update(extra_env)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run(
+            [sys.executable, "-m", "metamdbg_tpu", "asm", "--out-dir",
+             str(out), "--in-hifi", str(reads), "--threads", "2"],
+            check=True, env=env, cwd=repo, capture_output=True, timeout=300)
+        return out
+
+    host_out = run("host", {"METAMDBG_TPU_HOST_ONLY": "1"})
+    # congestion begins ~5 s in (after startup + claim, before the k-ladder
+    # finishes); short TTL so the demotion is prompt
+    t0 = _time.perf_counter()
+    auto_out = run("auto", {
+        "METAMDBG_TPU_TEST_CONGEST_AT": str(_time.time() + 5.0),
+        "METAMDBG_TPU_PROBE_TTL_S": "0.5",
+    })
+    auto_wall = _time.perf_counter() - t0
+
+    import json
+    tel = json.load(open(auto_out / "tmp" / "device.json"))
+    assert tel["device_mode"] == "device-auto"
+    assert tel["demotions"] >= 1, f"no mid-run demotion recorded: {tel}"
+    assert tel["healthy"] is False
+    assert any(c["host_batches"] > 0 for c in tel["contexts"].values())
+    # the run must not have crawled: a stuck-on-device run pays 1.5 s per
+    # batch; bound the total generously for the 2-core CI box
+    assert auto_wall < 180
+    a = gzip.open(auto_out / "contigs.fasta.gz").read()
+    b = gzip.open(host_out / "contigs.fasta.gz").read()
+    assert a == b
+
+
 def test_congestion_injection_env(reset_devwarm):
     """The test fault injector must make the real probe slow (this is what
     the e2e forced-congestion test leans on)."""
