@@ -593,10 +593,13 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
     refinement pass re-polishes only regions the previous pass was still
     changing); contigs with no active window pass through unfiltered.
     """
+    import time as _time
+    _t0 = _time.perf_counter()
     all_alignments = map_reads_to_contigs(contigs, reads,
                                           read_sketches=read_sketches,
                                           n_threads=n_threads or 1)
     contig_coverages = compute_contig_coverages(contigs, all_alignments)
+    _t_map = _time.perf_counter()
 
     # collect window fragments
     window_seqs: dict = {cid: [[] for _ in range(
@@ -637,6 +640,7 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
     cuts = window_cut_native.window_cut_batch(
         cut_items, contigs, WINDOW_LEN, overlap.ALIGN_L, _NW_MAX_M,
         n_threads=n_threads) if cut_items else []
+    _t_cut = _time.perf_counter()
 
     if cuts is not None:
         ci = 0
@@ -689,6 +693,7 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
                 index_window(window_seqs[al.contig_index][wid],
                              Window(frag, fq, ps, pe, identity))
 
+    _t_index = _time.perf_counter()
     # POA per window (batched through the native engine)
     batch = []
     keys = []
@@ -715,6 +720,7 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
         for (cid, wid, nseq, is_last), (cons, covs) in zip(
                 keys, poa_native.polish_windows(batch, n_threads=n_threads)):
             results[(cid, wid)] = trim_consensus(cons, covs, nseq, is_last)
+    _t_poa = _time.perf_counter()
 
     # reassemble + validate (dumpCorrectedContig, hpp:2744-2868)
     out_contigs: dict = {}
@@ -754,5 +760,10 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
             circ = "yes" if is_circular else "no"
             header_strings[cid] = (f"ctg{orig_index} length={length} "
                                    f"coverage={coverage:.2f} circular={circ}")
+    log.info("  polish pass timing: map %.1fs cut %.1fs index %.1fs "
+             "poa %.1fs stitch %.1fs (%d windows, %d fragments)",
+             _t_map - _t0, _t_cut - _t_map, _t_index - _t_cut,
+             _t_poa - _t_index, _time.perf_counter() - _t_poa,
+             len(batch), len(items))
     return (out_contigs, out_headers, contig_coverages, header_strings,
             changed)

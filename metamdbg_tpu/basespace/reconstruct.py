@@ -108,6 +108,8 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
             reads[idx] = seq
             quals[idx] = qual
 
+        import time as _time
+        _t0 = _time.perf_counter()
         tiler = tiling.ContigTiler(reads, avg_dist, min_contig_length)
         tiler.n_threads = n_threads or 1
 
@@ -142,6 +144,8 @@ def run_to_basespace(out_dir: str, read_paths, output_contig_file: str,
                     used_read_file.write(b">read_%d\n" % r)
                     used_read_file.write(reads[r].tobytes() + b"\n")
 
+        log.info("  partition %d tiling: %.1fs (%d draft contigs)", pi,
+                 _time.perf_counter() - _t0, len(partition_contigs))
         if not partition_contigs:
             continue
 

