@@ -122,7 +122,18 @@ def _run_reference(reads, flag="--in-hifi", tag="bench_ref"):
 
 
 def _kernel_bench():
-    """Device sketch throughput (bases/s) + estimated VPU utilization."""
+    """Device sketch throughput (bases/s) + estimated VPU utilization.
+
+    Methodology (round 5): the per-dispatch cost of the tunneled backend
+    (~1-2 ms) and its unreliable block_until_ready made the old
+    one-kernel-per-dispatch loop measure the *tunnel*, not the kernel
+    (2.7 Gbases/s reported for a kernel that actually runs ~5x faster).
+    The kernel is now iterated ON DEVICE inside a lax.fori_loop whose
+    iterations are data-chained (so XLA cannot hoist the body), the fence
+    is a host materialization of the result scalar (the only true fence
+    through the relay), and the per-iteration time is the slope between a
+    small and a large iteration count, which cancels the fixed
+    dispatch+readback overhead exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -137,29 +148,55 @@ def _kernel_bench():
                                      dtype=np.uint8))
     lengths = jnp.asarray(np.full(n_reads, read_len, np.int32))
 
-    def rate(fn):
-        total = int(fn(codes, lengths))   # claim + compile + sanity
-        assert total > 0
-        # dispatch the loop, then transfer ONE scalar: PJRT executes
-        # in-order per device, so materializing the last result fences
-        # every iteration.
-        iters = 30
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = fn(codes, lengths)
-        assert int(r) == total
-        return n_reads * read_len * iters / (time.perf_counter() - t0)
+    def chained_loop(sk, inner):
+        @jax.jit
+        def f(c, ln):
+            def body(i, carry):
+                acc, mix = carry
+                r = sk(c ^ mix, ln, l=l, density=density)
+                s = r["selected"].sum()
+                # the mix carry data-chains the iterations (a genuinely
+                # data-dependent value, so XLA cannot fold or hoist it);
+                # xor-ing it into the codes changes the *data*, never the
+                # work — the kernel is data-independent
+                return (acc + s, (s % jnp.int32(3)).astype(jnp.uint8))
+            return jax.lax.fori_loop(0, inner, body,
+                                     (jnp.int32(0), jnp.uint8(0)))[0]
+        return f
 
-    fn = jax.jit(lambda c, ln: sketch_batch(c, ln, l=l, density=density)
-                 ["selected"].sum())
-    bases_per_s = rate(fn)
+    def wall(fn):
+        v0 = int(fn(codes, lengths))   # claim + compile + sanity
+        assert v0 > 0
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v = int(fn(codes, lengths))
+            walls.append(time.perf_counter() - t0)
+        assert v == v0
+        return min(walls)
 
-    # measured roofline (VERDICT r3 next-#6): XLA's own cost model for the
-    # compiled kernel instead of the hand-estimated ops/base
+    def rate(sk):
+        a, b = 8, 64
+        wa = wall(chained_loop(sk, a))
+        wb = wall(chained_loop(sk, b))
+        per_iter = max((wb - wa) / (b - a), 1e-9)
+        overhead = max(wa - a * per_iter, 0.0)
+        return n_reads * read_len / per_iter, overhead
+
+    bases_per_s, dispatch_overhead_s = rate(sketch_batch)
+
+    # roofline: XLA's cost model reports LOGICAL (pre-fusion) flops/bytes —
+    # the fused kernel keeps nearly all of those bytes in registers/VMEM
+    # (the r4-reported 146 bytes/base at the measured rate would imply
+    # 2.1 TB/s of HBM, 2.6x the chip's ceiling: physically impossible, so
+    # it was never real traffic). The physical HBM traffic of the kernel
+    # is its operands + results: 1 B/base codes in + 4+1+1 B/base
+    # values/selected/dirs out = 6.25 B/base.
     cost = {}
     try:
-        compiled = fn.lower(codes, lengths).compile()
+        fn_single = jax.jit(lambda c, ln: sketch_batch(
+            c, ln, l=l, density=density)["selected"].sum())
+        compiled = fn_single.lower(codes, lengths).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0] if ca else {}
@@ -167,17 +204,20 @@ def _kernel_bench():
         bytes_acc = float(ca.get("bytes accessed", 0.0))
         n_bases = float(n_reads * read_len)
         batches_per_s = bases_per_s / n_bases
+        phys_bytes_per_base = 1 + 4 + 1 + 1.0 / 8  # mask packs on device
         cost = {
-            "xla_flops_per_base": round(flops / n_bases, 1),
-            "xla_bytes_per_base": round(bytes_acc / n_bases, 1),
-            "achieved_tops": round(flops * batches_per_s / 1e12, 3),
-            "achieved_gbps": round(bytes_acc * batches_per_s / 1e9, 1),
+            "xla_logical_flops_per_base": round(flops / n_bases, 1),
+            "xla_logical_bytes_per_base": round(bytes_acc / n_bases, 1),
+            "physical_bytes_per_base": phys_bytes_per_base,
+            "physical_hbm_gbps": round(
+                phys_bytes_per_base * bases_per_s / 1e9, 1),
             # v5e ceilings: ~394 TOPS bf16 MXU (unused here), VPU int32
             # ~3.85 TOPS, HBM ~819 GB/s
             "vpu_util_measured": round(
                 flops * batches_per_s / 3.85e12, 4),
             "hbm_util_measured": round(
-                bytes_acc * batches_per_s / 819e9, 4),
+                phys_bytes_per_base * bases_per_s / 819e9, 4),
+            "bound": "VPU-compute (register-resident fusion)",
         }
     except Exception:
         pass
@@ -186,22 +226,11 @@ def _kernel_bench():
     # see kernels/sketch_pallas.py for the measured comparison)
     try:
         from metamdbg_tpu.kernels.sketch_pallas import sketch_batch_pallas
-        pallas_bases_per_s = rate(jax.jit(
-            lambda c, ln: sketch_batch_pallas(c, ln, l=l, density=density)
-            ["selected"].sum()))
+        pallas_bases_per_s, _ = rate(sketch_batch_pallas)
     except Exception:
         pallas_bases_per_s = None
 
-    # VPU utilization estimate: the kernel is integer VPU work (no MXU).
-    # Per k-mer window: l=15 rounds of shift+or (fwd) + shift+or (rev) +
-    # bad-mask or (~6 u32 ops each) plus canonical select (~4) plus
-    # murmur64 on u32 pairs (~80) plus threshold compare (~6): ~200 u32
-    # ops/base. v5e VPU peak ~= 8 lanes * 128 sublanes * 4 ALUs * 0.94 GHz
-    # ~= 3.85e12 int32 ops/s.
-    ops_per_base = 200.0
-    vpu_peak = 8 * 128 * 4 * 0.94e9
-    vpu_util = bases_per_s * ops_per_base / vpu_peak
-    return (bases_per_s, pallas_bases_per_s, vpu_util, cost,
+    return (bases_per_s, dispatch_overhead_s, pallas_bases_per_s, cost,
             str(jax.devices()[0]))
 
 
@@ -227,8 +256,8 @@ def main():
         ont_reads, "--in-ont", "bench_out_ont")
     ont_ref_wall = _run_reference(ont_reads, "--in-ont", "bench_ref_ont")
 
-    (kernel_bases_per_s, pallas_bases_per_s, vpu_util, kernel_cost,
-     device) = _kernel_bench()
+    (kernel_bases_per_s, dispatch_overhead_s, pallas_bases_per_s,
+     kernel_cost, device) = _kernel_bench()
 
     print(json.dumps({
         "metric": "e2e_pipeline_bases_per_s",
@@ -256,8 +285,12 @@ def main():
                 "scales with host cores, so this is NOT pod-scale evidence",
         "sketch_kernel_bases_per_s": round(kernel_bases_per_s, 1),
         "sketch_kernel_kminmers_per_s": round(kernel_bases_per_s * 0.005, 1),
-        "sketch_kernel_vpu_util_est": round(vpu_util, 4),
+        "sketch_kernel_dispatch_overhead_s": round(dispatch_overhead_s, 4),
         "sketch_kernel_cost_analysis": kernel_cost or None,
+        "kernel_bench_note": "on-device chained fori_loop, host-"
+        "materialization fence, overhead-cancelling two-point slope "
+        "(prior rounds' per-dispatch loop measured the tunnel's ~1.5 ms "
+        "dispatch cost, not the kernel)",
         "sketch_pallas_bases_per_s": round(pallas_bases_per_s, 1)
         if pallas_bases_per_s else None,
         "device": device,
