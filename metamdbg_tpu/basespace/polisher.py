@@ -654,32 +654,36 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
                             "anchors); fragment dropped", _NW_MAX_M)
             identity = al.identity
             pool = window_seqs[al.contig_index]
-            if qual is not None:
-                qp = np.concatenate([[0], np.cumsum(qual, dtype=np.int64)])
-                hp = np.concatenate([[0], np.cumsum(
-                    seq.astype(np.int64) * qual, dtype=np.int64)])
-            else:
-                hp = np.concatenate([[0], np.cumsum(seq, dtype=np.int64)])
+            # per-fragment slice sums instead of two full-read cumsums per
+            # alignment (was 9.3 s of the 12 Mb partition — the cumsum +
+            # concatenate pair touched ~20 kb per alignment to read back a
+            # handful of range sums)
             for fq, lq, ft, lt in zip(fq_a.tolist(), lq_a.tolist(),
                                       ft_a.tolist(), lt_a.tolist()):
-                if qual is not None:
-                    avg_q = float((qp[lq] - qp[fq]) / (lq - fq)) - 33.0
-                    if avg_q < QUALITY_THRESHOLD:
-                        continue
                 wid = ft // WINDOW_LEN
                 if wid >= len(pool):
                     continue
                 if active is not None and \
                         not active[al.contig_index][wid]:
                     continue
+                frag_seq = seq[fq:lq]
+                if qual is not None:
+                    frag_q = qual[fq:lq]
+                    q_sum = int(frag_q.sum(dtype=np.int64))
+                    avg_q = q_sum / (lq - fq) - 33.0
+                    if avg_q < QUALITY_THRESHOLD:
+                        continue
+                    hash_val = int((frag_seq.astype(np.int64)
+                                    * frag_q).sum())
+                    frag_qual = frag_q.tobytes()
+                else:
+                    hash_val = int(frag_seq.sum(dtype=np.int64))
+                    frag_qual = None
                 ws = wid * WINDOW_LEN
-                frag = seq[fq:lq].tobytes()
-                frag_qual = qual[fq:lq].tobytes() if qual is not None \
-                    else None
                 index_window(pool[wid],
-                             Window(frag, frag_qual, ft - ws, lt - ws - 1,
-                                    identity,
-                                    hash_val=int(hp[lq]) - int(hp[fq])))
+                             Window(frag_seq.tobytes(), frag_qual,
+                                    ft - ws, lt - ws - 1, identity,
+                                    hash_val=hash_val))
     else:  # oracle fallback (METAMDBG_TPU_HOST_WINDOW_CUT or build failure)
         for (read_index, al, seq, qual) in items:
             identity = al.identity
@@ -717,8 +721,12 @@ def polish_pass(contigs: dict, headers: dict, reads: list,
                          wid == len(contig_windows) - 1))
 
     if batch:
+        # multi-host runs shard the window batch across processes
+        # (parallel/polish_mesh.py); single-host this IS the native engine
+        from ..parallel.polish_mesh import polish_windows_distributed
         for (cid, wid, nseq, is_last), (cons, covs) in zip(
-                keys, poa_native.polish_windows(batch, n_threads=n_threads)):
+                keys, polish_windows_distributed(batch,
+                                                 n_threads=n_threads)):
             results[(cid, wid)] = trim_consensus(cons, covs, nseq, is_last)
     _t_poa = _time.perf_counter()
 

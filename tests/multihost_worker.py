@@ -18,7 +18,29 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=4").strip()
 
 
+def main_polish():
+    """polish mode: argv = ('polish', batch.pkl, out.pkl) — run the
+    distributed window-POA fan-out (parallel/polish_mesh.py) and dump this
+    process's reassembled result list."""
+    import pickle
+
+    from metamdbg_tpu import parallel
+    from metamdbg_tpu.parallel.polish_mesh import polish_windows_distributed
+
+    parallel.ensure_distributed()
+    with open(sys.argv[2], "rb") as f:
+        batch = pickle.load(f)
+    res = polish_windows_distributed(batch, n_threads=1)
+    with open(sys.argv[3], "wb") as f:
+        pickle.dump(res, f)
+    import jax
+    print(f"process {jax.process_index()} polished "
+          f"{len(batch)} windows", flush=True)
+
+
 def main():
+    if sys.argv[1] == "polish":
+        return main_polish()
     read_file_dir, out_dir, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
 
     import jax

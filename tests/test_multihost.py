@@ -101,3 +101,64 @@ def test_two_process_first_pass_byte_identical(tmp_path):
         for n in _ARTIFACTS:
             got = open(os.path.join(out_dir, n), "rb").read()
             assert got == ref[n], f"{n} differs in {out_dir}"
+
+
+def test_two_process_polish_byte_identical(tmp_path):
+    """VERDICT r4 #5: the windowed-POA polish stage fans out across
+    jax.distributed processes (parallel/polish_mesh.py) and the gathered
+    result must be byte-identical to the single-host native engine."""
+    import pickle
+
+    from metamdbg_tpu.basespace import poa_native
+    if not poa_native.available():
+        pytest.skip("native POA engine unavailable")
+
+    rng = np.random.default_rng(77)
+    batch = []
+    for w in range(23):  # odd count: uneven shards exercise the padding
+        bb = rng.integers(65, 69, size=int(rng.integers(180, 320))).astype(
+            np.uint8)
+        frags = []
+        for _f in range(int(rng.integers(2, 6))):
+            s = bb.copy()
+            for _m in range(int(rng.integers(0, 4))):  # few substitutions
+                s[int(rng.integers(0, s.shape[0]))] = int(
+                    rng.integers(65, 69))
+            a = int(rng.integers(0, 20))
+            b = s.shape[0] - int(rng.integers(0, 20))
+            frags.append((s[a:b].tobytes(),
+                          bytes([60]) * (b - a), a, b - 1))
+        frags.sort(key=lambda t: (t[2], t[0]))
+        batch.append((bb.tobytes(), frags))
+
+    oracle = poa_native.polish_windows(batch, n_threads=1)
+
+    batch_path = str(tmp_path / "batch.pkl")
+    with open(batch_path, "wb") as f:
+        pickle.dump(batch, f)
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = []
+    for pid in range(2):
+        env = _clean_env()
+        env.update(METAMDBG_TPU_DISTRIBUTED="1",
+                   METAMDBG_TPU_COORDINATOR=f"127.0.0.1:{port}",
+                   METAMDBG_TPU_NUM_PROCESSES="2",
+                   METAMDBG_TPU_PROCESS_ID=str(pid))
+        out = str(tmp_path / f"polish{pid}.pkl")
+        procs.append((out, subprocess.Popen(
+            [sys.executable, worker, "polish", batch_path, out], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)))
+
+    for out, p in procs:
+        o, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, o.decode(errors="replace")[-4000:]
+
+    for out, _ in procs:
+        with open(out, "rb") as f:
+            res = pickle.load(f)
+        assert len(res) == len(oracle)
+        for (gc, gv), (ec, ev) in zip(res, oracle):
+            assert gc == ec
+            assert np.array_equal(np.asarray(gv), np.asarray(ev))
