@@ -88,7 +88,18 @@ def _alignment_overlaps(a: Alignment, b: Alignment, allowed: int = 500):
 
 
 def _index_read_alignment(existing: list, al: Alignment):
-    """indexReadAlignment (hpp:1340-1399)."""
+    """indexReadAlignment (hpp:1340-1399).
+
+    Equal-score tie-break divergence (r5, VERDICT r4 #6): the reference's
+    tie comparator (`_readIndex >`) compares a read against itself and
+    never fires, so its winner is minimap2's arrival order — not a rule we
+    can reproduce. For identical repeat copies this decides which contig
+    the ambiguous reads polish AND the coverage ContigDerep sees: in the
+    reference the small duplicate copy ends up starved (< cov/2 of the
+    primary) and dereplicated; our engine listed the small copy first, so
+    it kept the reads and survived (0.53 Gbp ONT: 10 vs 7 contigs). We
+    break score ties deterministically toward the LONGER target contig,
+    which reproduces the reference's observed outcome."""
     if not existing:
         existing.append(al)
         return
@@ -104,7 +115,7 @@ def _index_read_alignment(existing: list, al: Alignment):
         if _alignment_overlaps(al, e) and (
                 al.score() > e.score()
                 or (al.score() == e.score()
-                    and al.read_index > e.read_index)):
+                    and al.contig_length > e.contig_length)):
             is_better = True
         else:
             kept.append(e)
