@@ -148,14 +148,12 @@ class ContigTiler:
 
         selected = subsample_mapped_reads(ii, alignments, used_coverage)
         s1 = self.sketch_of(r1)
+        sel2 = []
         for a2 in selected:
             if a2.contig_start > a1.contig_end:
-                break
-            bl = overlap.overlap_pair(s1, t_len,
-                                      self.sketch_of(a2.read_index),
-                                      self.reads[a2.read_index].shape[0],
-                                      min_span=MIN_OVERLAP,
-                                      t_index=self.index_of(r1))
+                break  # reference truncates at the first non-overlapper
+            sel2.append(a2)
+        for bl in self._pair_overlaps_batch(r1, s1, t_len, sel2):
             if not bl:
                 continue
             best = max(bl, key=lambda b: b.align_length())
@@ -167,6 +165,39 @@ class ContigTiler:
                              used_coverage)
         self._erroneous_cache[r1] = result
         return result
+
+    def _pair_overlaps_batch(self, r1, s1, t_len, sel2):
+        """All of sel2's reads vs read r1 in ONE native engine call (the
+        per-pair map_pair loop was ~10 ctypes crossings per read and
+        ~half the 12 Mb tiling wall). Same engine, same parameters, same
+        per-query chain order as overlap_pair — bit-identical results."""
+        if not sel2:
+            return []
+        from . import overlap_native
+        if overlap_native.available():
+            idx = overlap.SeqIndex()
+            idx.add(0, np.zeros(0, np.uint8), sketched=s1)
+            idx.lengths[0] = t_len
+            idx.build()
+            queries = []
+            for a2 in sel2:
+                qv, qp, qd = self.sketch_of(a2.read_index)
+                queries.append((qv, qp, qd,
+                                self.reads[a2.read_index].shape[0], -1))
+            res = overlap_native.map_sketched_batch(
+                idx, queries, overlap.ALIGN_DENSITY, MIN_OVERLAP, 5, 500,
+                4, 4, overlap.ALIGN_L, False,
+                n_threads=int(getattr(self, "n_threads", 1) or 1))
+            if res is not None:
+                return [[overlap._bounds_from_chain_tuple(c, q[3], idx)
+                         for c in chains]
+                        for q, chains in zip(queries, res)]
+        return [overlap.overlap_pair(s1, t_len,
+                                     self.sketch_of(a2.read_index),
+                                     self.reads[a2.read_index].shape[0],
+                                     min_span=MIN_OVERLAP,
+                                     t_index=self.index_of(r1))
+                for a2 in sel2]
 
 
 # -- pure-bounds helpers -----------------------------------------------------
