@@ -97,23 +97,21 @@ def assembly_metrics(contigs, genomes, circular=True):
             path = uniq_gids[ui_c[uhit]]
             if path.shape[0] > 1:
                 # ignore isolated flickers (< 25 consecutive k-mers) which
-                # shared/homologous regions produce
+                # shared/homologous regions produce. Run-length encoded:
+                # the old per-element loop was ~10 min of Python at the
+                # 10 Gbp scale; iterating runs is equivalent (transitions
+                # are all that matter) and ~1e4x fewer iterations.
+                change = np.flatnonzero(np.diff(path)) + 1
+                starts = np.concatenate([[0], change])
+                lens = np.diff(np.append(starts, path.shape[0]))
+                run_gids = path[starts]
                 sw = 0
-                run_gid = int(path[0])
-                run_len = 1
-                cur_gid, cur_len = run_gid, 0
-                for gid in path[1:].tolist():
-                    if gid == run_gid:
-                        run_len += 1
-                    else:
-                        if run_len >= 25 and cur_len >= 25 and \
-                                run_gid != cur_gid:
-                            sw += 1
-                        if run_len >= 25:
-                            cur_gid, cur_len = run_gid, run_len
-                        run_gid, run_len = gid, 1
-                if run_len >= 25 and cur_len >= 25 and run_gid != cur_gid:
-                    sw += 1
+                cur_gid, cur_len = int(run_gids[0]), 0
+                for g, ln in zip(run_gids.tolist(), lens.tolist()):
+                    if ln >= 25 and cur_len >= 25 and g != cur_gid:
+                        sw += 1
+                    if ln >= 25:
+                        cur_gid, cur_len = g, ln
                 switches += sw
 
     # genome fraction: share of each genome's k-mers present in any contig
