@@ -389,9 +389,17 @@ def gate(context: str, items: int) -> _Gate:
         st = _ctx.get(context)
         if st is None:
             st = _ctx[context] = _CtxStats()
-        # calibration: interleave until both modes are measured
-        if st.n_host < _CAL_BATCHES or st.n_dev < _CAL_BATCHES:
-            dev = st.n_dev < st.n_host or st.n_host >= _CAL_BATCHES
+        # calibration: interleave until both modes are MEASURED (spi set
+        # by gate observations; use_device() counts the same context's
+        # routing without timings, so the n_* counters alone don't prove
+        # a measurement exists)
+        need_host = st.n_host < _CAL_BATCHES or st.host_spi is None
+        need_dev = st.n_dev < _CAL_BATCHES or st.dev_spi is None
+        if need_host or need_dev:
+            if need_host and need_dev:
+                dev = st.n_dev < st.n_host  # alternate, host first
+            else:
+                dev = need_dev              # measure the missing side
             return _Gate(context, items, dev)
         dev_wins = st.dev_spi < st.host_spi * _DEVICE_WIN_MARGIN
         st.since_explore += 1
