@@ -10,18 +10,18 @@ intermediate materialization): the murmur chain is ~200 elementwise plane
 ops, and on full-width (8, 16384) planes every op is a VMEM round trip
 (1024 vregs/plane cannot stay in registers), which caps the kernel at
 ~2.9 Gbases/s of VMEM bandwidth. The kernel now walks the row in
-_TILE=512-column tiles with a 128-column halo: every plane is 4-5 vregs,
-the whole op chain stays register-resident, and HBM/VMEM traffic drops to
-the irreducible input+output bytes (~6 B/base). All slices are
+_TILE-column tiles with a 128-column halo: planes are few enough vregs
+that the whole op chain stays register-resident, and HBM/VMEM traffic
+drops to the irreducible input+output bytes (~6 B/base). All slices are
 lane-aligned (tile offsets are multiples of 512, widths multiples of
 128) — the known Mosaic miscompile with *unaligned* overlapping column
 slices (round-3 probe: bits 18-21 silently zeroed at l=15) is avoided by
 construction; the per-tap accumulation still uses the proven
 pltpu.roll-by-one formulation, just on the small halo'd tile.
 
-Measured (v5e, 256x16384 u8 batch, l=15, density 0.005, block_rows=8):
-see BENCH_r05.json sketch_pallas_bases_per_s — this kernel replaced the
-XLA-fused one as the production device sketcher when it first beat it.
+Measured (v5e, 256x16384 u8 batch, l=15, density 0.005, block_rows=8,
+honest chained-loop harness): ~15-17 Gbases/s vs the XLA-fused kernel's
+~14.6 — see BENCH_r05.json sketch_pallas_bases_per_s.
 Bit-identical to kernels/sketch.py:sketch_batch, pinned by
 tests/test_device_sketch.py::test_pallas_matches_xla (interpret mode on
 the CPU CI mesh; compiled on TPU).
@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import u64pair
 
-_TILE = 512   # output columns per inner tile (multiple of the 128 lanes)
+_TILE = 4096  # output columns per inner tile (multiple of the 128 lanes).
+              # Swept on v5e with the honest (chained-loop, host-fenced)
+              # harness: 512 -> ~4.8, 2048 -> ~10-13, 4096 -> ~15-17,
+              # 8192 -> ~16 Gbases/s; 4096 balances register pressure
+              # against per-tile fixed costs and beats the XLA-fused
+              # kernel (~14.6 Gbases/s) on the same shapes.
 _HALO = 128   # >= l-1 so every window's taps stay inside the tile; a full
               # lane multiple keeps every load aligned
 
