@@ -103,22 +103,33 @@ def _pair_lookup(table_keys: np.ndarray, table_vals: np.ndarray,
     if table_keys.shape[0] == 0 or q1.shape[0] == 0:
         return out
     # order-preserving pack is impossible for full u64 pairs; two-level
-    # searchsorted on the first column, then scan ties on the second
-    lo = np.searchsorted(table_keys[:, 0], q1, side="left")
-    lo_c = np.minimum(lo, table_keys.shape[0] - 1)
-    hit = (table_keys[lo_c, 0] == q1) & (lo < table_keys.shape[0])
+    # searchsorted on the first column, then scan ties on the second.
+    # Column views of an (M,2) array are strided — searchsorted against
+    # them silently copies per call (~20 s/pass at the 10 Gbp scale), so
+    # take contiguous copies once.
+    c0 = np.ascontiguousarray(table_keys[:, 0])
+    c1 = np.ascontiguousarray(table_keys[:, 1])
+    # sort the queries first: random binary-search probes into the table
+    # were ~800 ns each under memory contention (20 s/pass at 10 Gbp);
+    # monotone queries walk the table nearly sequentially
+    qorder = np.argsort(q1, kind="stable")
+    q1 = q1[qorder]
+    q2 = q2[qorder]
+    lo = np.searchsorted(c0, q1, side="left")
+    lo_c = np.minimum(lo, c0.shape[0] - 1)
+    hit = (c0[lo_c] == q1) & (lo < c0.shape[0])
     # rows whose first column is unique in the table resolve directly
-    exact = hit & (table_keys[lo_c, 1] == q2)
-    out[exact] = table_vals[lo_c[exact]]
+    exact = hit & (c1[lo_c] == q2)
+    out[qorder[exact]] = table_vals[lo_c[exact]]
     maybe = hit & ~exact
     if maybe.any():
-        hi = np.searchsorted(table_keys[:, 0], q1[maybe], side="right")
+        hi = np.searchsorted(c0, q1[maybe], side="right")
         idxs = np.flatnonzero(maybe)
         for i, h in zip(idxs.tolist(), hi.tolist()):
             seg_lo = lo[i]
-            j = seg_lo + np.searchsorted(table_keys[seg_lo:h, 1], q2[i])
-            if j < h and table_keys[j, 1] == q2[i]:
-                out[i] = table_vals[j]
+            j = seg_lo + np.searchsorted(c1[seg_lo:h], q2[i])
+            if j < h and c1[j] == q2[i]:
+                out[qorder[i]] = table_vals[j]
     return out
 
 
@@ -127,11 +138,13 @@ _READS_CACHE: dict = {}
 
 def _cached_read_minimizers(path: str):
     """read_data_corrected.txt is identical across the ~100 multiplex
-    passes — parse it once per file identity."""
+    passes — parse it once per file identity. A file change invalidates
+    the WHOLE cache (including the per-width window-hash planes)."""
     key = (path, os.path.getmtime(path), os.path.getsize(path))
     hit = _READS_CACHE.get("key")
     if hit == key:
         return _READS_CACHE["items"]
+    _READS_CACHE.clear()
     items = [(r.minimizers, 1 if r.is_circular else 0)
              for r in records.read_read_data(path, False)]
     _READS_CACHE["key"] = key
@@ -192,23 +205,49 @@ class MultiplexPass:
 
     # ------------------------------------------------------------------
     def run(self):
+        import logging
+        import time as _time
+        _log = logging.getLogger("metamdbg_tpu")
+        t = [_time.perf_counter()]
+
+        def _mark():
+            t.append(_time.perf_counter())
+
         self._count_kminmers()
+        _mark()
         self._load_prev_graph()
+        _mark()
         self._solve_edges()
+        _mark()
         self._remove_unsupported()
+        _mark()
         self._solve_small_unitigs()
+        _mark()
         self._write_unitigs()
+        _mark()
+        d = [t[i + 1] - t[i] for i in range(6)]
+        _log.debug("  multiplex k=%d phases: count %.1fs load %.1fs "
+                   "edges %.1fs unsupported %.1fs small %.1fs write %.1fs",
+                   self.k, *d)
 
     # ------------------------------------------------------------------
-    def _refined_prev_index(self) -> dict:
-        """loadRefinedAbundances (cpp:3401-3709) as a plain dict."""
-        table: dict = {}
+    def _refined_prev_index(self):
+        """loadRefinedAbundances (cpp:3401-3709), vectorized: returns
+        (keys (N,2) u64 lex-sorted by (h1,h2), values i64).
+
+        Sequential semantics being reproduced (the old dict build was
+        ~13 s/pass at 10 Gbp): start from the prev abundance table
+        (cnt==1 dropped), then overlay each refined node's window hashes
+        IN ORDER — ab != 1 sets the value (inserting if absent); ab == 1
+        zeroes the value ONLY if the key is already present (never
+        inserts). Last-wins; a zeroer fires iff it comes after the last
+        setter of its key."""
         keys, counts = gio.read_kminmer_abundances(
             os.path.join(self.out_dir, "kminmerData_abundance_prev.txt"))
-        for key, cnt in zip(map(tuple, keys.tolist()), counts.tolist()):
-            if cnt == 1:
-                continue
-            table[key] = cnt
+        keep = counts != 1
+        base_k = keys[keep]
+        base_v = counts[keep].astype(np.int64)
+
         refined = {}
         with open(os.path.join(self.out_dir,
                                "unitigGraph.nodes.refined_abundances.bin"), "rb") as f:
@@ -217,17 +256,41 @@ class MultiplexPass:
         nodes = [(seq, idx // 2) for seq, idx in gio.read_unitig_nodes(
             os.path.join(self.out_dir, "unitigGraph_prev.nodes.bin"))
             if idx // 2 in refined]
-        all_hashes = _batch_window_hashes([seq for seq, _ in nodes],
-                                          self.k_prev)
-        for (seq, name), hashes in zip(nodes, all_hashes):
-            ab = refined[name]
-            for key in hashes:
-                if ab == 1:
-                    if key in table:
-                        table[key] = 0
-                else:
-                    table[key] = ab
-        return table
+        ov_h1, ov_h2, ov_off = _flat_window_hashes(
+            [seq for seq, _ in nodes], self.k_prev)
+        nwin = np.diff(ov_off)
+        ov_ab = np.repeat(
+            np.fromiter((refined[name] for _, name in nodes), np.int64,
+                        len(nodes)), nwin)
+
+        h1 = np.concatenate([base_k[:, 0], ov_h1])
+        h2 = np.concatenate([base_k[:, 1], ov_h2])
+        val = np.concatenate([base_v, ov_ab])
+        n_base = base_k.shape[0]
+        # insertion sequence: base first, then overlay rows in order
+        seqno = np.concatenate([np.full(n_base, -1, np.int64),
+                                np.arange(ov_h1.shape[0], dtype=np.int64)])
+        is_setter = val != 1
+        is_setter[:n_base] = True  # base rows always set (cnt>1 by filter)
+
+        order = np.lexsort((seqno, h2, h1))
+        h1, h2, val, seqno, is_setter = (h1[order], h2[order], val[order],
+                                         seqno[order], is_setter[order])
+        t = h1.shape[0]
+        if t == 0:
+            return np.zeros((0, 2), np.uint64), np.zeros(0, np.int64)
+        first = np.ones(t, bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        heads = np.flatnonzero(first)
+        pos = np.arange(t, dtype=np.int64)
+        last_set = np.maximum.reduceat(np.where(is_setter, pos, -1), heads)
+        last_zero = np.maximum.reduceat(np.where(~is_setter, pos, -1),
+                                        heads)
+        present = last_set >= 0
+        value = np.where(last_zero > last_set, np.int64(0),
+                         val[np.maximum(last_set, 0)])
+        out_k = np.stack([h1[heads[present]], h2[heads[present]]], axis=1)
+        return out_k, value[present]
 
     def _count_kminmers(self):
         """IndexKminmerFunctor over reads then previous contigs
@@ -237,30 +300,39 @@ class MultiplexPass:
         table lookup, numpy segment math for the min-of-adjacent abundance,
         stable-sort first-occurrence dedup — the per-read/python-dict
         variant dominated multi-k wall time (VERDICT r2 weak #7)."""
-        prev_index = self._refined_prev_index()
+        pk, pv = self._refined_prev_index()
         small_path = os.path.join(self.out_dir, "smallContigs",
                                   f"smallContigs_k{self.k}.bin")
         small_file = open(small_path, "wb")
 
-        items = [(m, circ, False) for m, circ in _cached_read_minimizers(
-            os.path.join(self.out_dir, "read_data_corrected.txt"))]
+        read_items = _cached_read_minimizers(
+            os.path.join(self.out_dir, "read_data_corrected.txt"))
+        items = [(m, circ, False) for m, circ in read_items]
         for r in records.read_read_data(
                 os.path.join(self.out_dir, "unitig_data.txt"), False):
             items.append((r.minimizers, 1 if r.is_circular else 0, True))
         seqs = [m for m, _, _ in items]
         n = len(items)
+        n_reads = len(read_items)
+        contig_seqs = seqs[n_reads:]
 
-        # prev_index dict -> lex-sorted key table
-        if prev_index:
-            pk = np.array(list(prev_index.keys()), np.uint64)
-            pv = np.array(list(prev_index.values()), np.int64)
-            order = np.lexsort((pk[:, 1], pk[:, 0]))
-            pk, pv = pk[order], pv[order]
-        else:
-            pk = np.zeros((0, 2), np.uint64)
-            pv = np.zeros(0, np.int64)
+        def _sweep(w):
+            """Window hashes of reads+contigs at width w. The reads part
+            is identical across passes, so pass k's reads plane (computed
+            here at width k) is reused by pass k+1 as its k_prev plane —
+            the reads are the dominant share and this halves the per-pass
+            hashing."""
+            cached = _READS_CACHE.get(("hash", w))
+            if cached is None:
+                cached = _flat_window_hashes(seqs[:n_reads], w)
+                _READS_CACHE[("hash", w)] = cached
+            rh1, rh2, roff = cached
+            ch1, ch2, coff = _flat_window_hashes(contig_seqs, w)
+            return (np.concatenate([rh1, ch1]),
+                    np.concatenate([rh2, ch2]),
+                    np.concatenate([roff, roff[-1] + coff[1:]]))
 
-        hp1, hp2, offp = _flat_window_hashes(seqs, self.k_prev)
+        hp1, hp2, offp = _sweep(self.k_prev)
         ab_prev = _pair_lookup(pk, pv, hp1, hp2, np.int64(1))
 
         lens = np.fromiter((s.shape[0] for s in seqs), np.int64, n)
@@ -295,8 +367,12 @@ class MultiplexPass:
             x = np.flatnonzero(keep)
             minab = np.minimum(ab_prev[x], ab_prev[x + 1])
 
-            hk1, hk2, offk = _flat_window_hashes(
-                [s for i, s in enumerate(seqs) if has_k[i]], self.k)
+            # unfiltered sweep: seqs with no k-window contribute zero
+            # windows, so the concatenated hash arrays are identical to
+            # the old filtered call — and the reads plane is cacheable
+            hk1, hk2, offk = _sweep(self.k)
+            _READS_CACHE.pop(("hash", self.k_prev), None)  # next pass
+            # needs only width k
             assert hk1.shape[0] == minab.shape[0]
 
             sel = minab > 1
