@@ -170,6 +170,17 @@ def ours():
     print("[scale10] computing quality vs truth ...", flush=True)
     result.update(_metrics(os.path.join(out_dir, "contigs.fasta.gz"), gnp))
     _save("ours", result)
+    # the reference binary was not run at this scale: two >4 h runs do not
+    # fit one round's clean-measurement window on this box. Its wall is
+    # extrapolated from its measured same-box 1.106 Gbp rate; quality is
+    # judged against the synthetic truth genomes instead.
+    _save("reference_extrapolated", {
+        "wall_s": round(1859.8 / 1.106 * (total / 1e9), 0),
+        "basis": "SCALE_r04 hifi reference: 1859.8 s / 1.106 Gbp on this "
+                 "2-core box, scaled linearly to the input size",
+        "published_envelope": "18-103 Gbp at 1-8 h on 32 cores "
+                              "(reference results/perf.tsv)",
+    })
     print(json.dumps(result, indent=1))
 
 
