@@ -32,6 +32,22 @@ def _genome_kmers(genome: np.ndarray, circular: bool = True):
     return np.unique(vals[valid])
 
 
+def _lookup(table: np.ndarray, vals: np.ndarray):
+    """(hit mask, clipped insert index) of vals in a sorted table, in the
+    ORIGINAL vals order. Queries are sorted first: random binary-search
+    probes into a GB-scale table run ~10x slower than a monotone walk."""
+    if table.shape[0] == 0 or vals.shape[0] == 0:
+        return np.zeros(vals.shape[0], bool), np.zeros(vals.shape[0],
+                                                       np.int64)
+    o = np.argsort(vals, kind="stable")
+    i_s = np.searchsorted(table, vals[o])
+    i = np.empty(vals.shape[0], np.int64)
+    i[o] = i_s
+    i_c = np.minimum(i, table.shape[0] - 1)
+    hit = table[i_c] == vals
+    return hit, i_c
+
+
 def assembly_metrics(contigs, genomes, circular=True):
     """contigs: list of np.uint8 sequences; genomes: list of np.uint8.
 
@@ -75,11 +91,7 @@ def assembly_metrics(contigs, genomes, circular=True):
         if vals.shape[0] == 0:
             continue
         total_kmers += vals.shape[0]
-        idx = np.searchsorted(all_sorted, vals)
-        idx_c = np.minimum(idx, max(all_sorted.shape[0] - 1, 0))
-        present = all_sorted.shape[0] > 0
-        hit = (all_sorted[idx_c] == vals) if present else \
-            np.zeros(vals.shape[0], bool)
+        hit, _ = _lookup(all_sorted, vals)
         unaligned_kmers += int((~hit).sum())
         # error events: runs of absent k-mers
         if (~hit).any():
@@ -90,10 +102,7 @@ def assembly_metrics(contigs, genomes, circular=True):
         contig_kmers_all.append(vals[hit])
         # misassembly proxy: genome-id switches along unique k-mers
         if len(genomes) > 1:
-            ui = np.searchsorted(uniq_kmers, vals)
-            ui_c = np.minimum(ui, max(uniq_kmers.shape[0] - 1, 0))
-            uhit = (uniq_kmers[ui_c] == vals) if uniq_kmers.shape[0] else \
-                np.zeros(vals.shape[0], bool)
+            uhit, ui_c = _lookup(uniq_kmers, vals)
             path = uniq_gids[ui_c[uhit]]
             if path.shape[0] > 1:
                 # ignore isolated flickers (< 25 consecutive k-mers) which
