@@ -168,7 +168,7 @@ def _kernel_bench():
         v0 = int(fn(codes, lengths))   # claim + compile + sanity
         assert v0 > 0
         walls = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             v = int(fn(codes, lengths))
             walls.append(time.perf_counter() - t0)
@@ -176,7 +176,9 @@ def _kernel_bench():
         return min(walls)
 
     def rate(sk):
-        a, b = 8, 64
+        # the two points must be far enough apart that the compute delta
+        # (~0.3 ms/iter) dominates the relay's ±10 ms readback jitter
+        a, b = 32, 256
         wa = wall(chained_loop(sk, a))
         wb = wall(chained_loop(sk, b))
         per_iter = max((wb - wa) / (b - a), 1e-9)
