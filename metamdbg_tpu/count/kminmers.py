@@ -114,7 +114,13 @@ def count_unique_rows(rows: np.ndarray):
     if (rows.shape[0] >= _DEVICE_COUNT_MIN_ROWS
             and not os.environ.get("METAMDBG_TPU_HOST_COUNT")):
         from ..utils import devwarm
-        with devwarm.gate("device row counting", rows.shape[0]) as g:
+
+        def _device_path(r=rows.copy()):
+            from ..kernels.count_jax import count_unique_rows_device
+            return count_unique_rows_device(np.ascontiguousarray(r))
+
+        with devwarm.gate("device row counting", rows.shape[0],
+                          shadow=_device_path) as g:
             if g.device:
                 from ..kernels.count_jax import count_unique_rows_device
                 return count_unique_rows_device(np.ascontiguousarray(rows))

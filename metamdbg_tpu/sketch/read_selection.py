@@ -74,8 +74,15 @@ def _sketch_chunk(sketcher, chunk, l, density, use_hpc, repetitive):
     total_bases = sum(c.shape[0] for c, _ in coded)
     if sketcher is not None:
         # calibrated routing: the host twin is bit-identical, so the gate
-        # picks whichever side is measured faster on this machine/tunnel
-        with devwarm.gate("batch sketching", total_bases) as g:
+        # picks whichever side is measured faster on this machine/tunnel;
+        # device calibration runs as a background shadow so XLA shape
+        # compiles never block the pipeline
+        def _device_path():
+            return sketcher.sketch_many([c for c, _ in coded],
+                                        [b for _, b in coded])
+
+        with devwarm.gate("batch sketching", total_bases,
+                          shadow=_device_path) as g:
             if g.device:
                 sketched = sketcher.sketch_many([c for c, _ in coded],
                                                 [b for _, b in coded])

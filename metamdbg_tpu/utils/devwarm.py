@@ -358,16 +358,60 @@ class _Gate:
         return False
 
 
-def gate(context: str, items: int) -> _Gate:
+_shadow_lock = threading.Lock()
+_shadows: dict = {}          # context -> in-flight shadow thread
+
+
+def _submit_shadow(context: str, items: int, thunk):
+    """Measure the device path of one batch on a daemon thread while the
+    caller serves the batch from the host twin. The result is discarded —
+    only the timing feeds the device EWMA. This keeps XLA shape compiles
+    and slow-relay transfers OFF the pipeline's critical path: the device
+    is only ever routed on the main thread once it is a *measured* win
+    (observed: a single blocking row-count calibration batch cost 52 s of
+    remote compile + tunnel in an 86 Mbp ONT run, 44% of the wall)."""
+    with _shadow_lock:
+        # one in-flight shadow GLOBALLY: shadows steal host CPU from the
+        # 2-core pipeline while they wait on the tunnel, so serialize them
+        if any(t.is_alive() for t in _shadows.values()):
+            return
+        def run():
+            t0 = time.perf_counter()
+            try:
+                thunk()
+            except Exception as exc:  # noqa: BLE001 — surfaced once
+                from .devpolicy import device_fallback
+                device_fallback(context, exc)
+                return
+            dt = time.perf_counter() - t0
+            with _ctx_lock:
+                st = _ctx.get(context)
+                if st is None:
+                    st = _ctx[context] = _CtxStats()
+                st.observe(True, items, dt)
+        t = threading.Thread(target=run, daemon=True,
+                             name=f"shadow-cal-{context}")
+        _shadows[context] = t
+        t.start()
+
+
+def gate(context: str, items: int, shadow=None) -> _Gate:
     """Route one batch of `items` work units for `context`.
 
     Returns a context manager whose `.device` attribute is the routing
     decision; run the device or the bit-identical host twin under it and
     the batch wall feeds the calibration. Policy: host until the claim
-    completes or while the dispatch probe is unhealthy; then alternate
-    until both modes have _CAL_BATCHES observations; then the measured
-    faster mode (device needs a >=5% margin), with one exploration batch
-    of the losing mode every _EXPLORE_EVERY batches."""
+    completes or while the dispatch probe is unhealthy; then calibrate
+    both modes; then the measured faster mode (device needs a >=5%
+    margin), with one exploration batch of the losing mode every
+    _EXPLORE_EVERY batches.
+
+    `shadow`: optional zero-arg thunk running this batch's DEVICE path.
+    When provided, device-side calibration and device-side exploration
+    run as background shadows (discarded result, measured wall) instead
+    of blocking the pipeline — so compiles and congested transfers can
+    never slow the run down; the device is promoted to the main thread
+    only after it has measured faster."""
     if os.environ.get("METAMDBG_TPU_HOST_ONLY"):
         return _Gate(context, items, False)
     if os.environ.get("METAMDBG_TPU_REQUIRE_DEVICE"):
@@ -394,17 +438,28 @@ def gate(context: str, items: int) -> _Gate:
         # routing without timings, so the n_* counters alone don't prove
         # a measurement exists)
         need_host = st.n_host < _CAL_BATCHES or st.host_spi is None
-        need_dev = st.n_dev < _CAL_BATCHES or st.dev_spi is None
+        # with a shadow available, ONE device measurement is enough to
+        # rank the modes (exploration shadows keep refining the EWMA);
+        # blocking calibration still wants _CAL_BATCHES
+        need_dev = (st.dev_spi is None if shadow is not None
+                    else st.n_dev < _CAL_BATCHES or st.dev_spi is None)
         if need_host or need_dev:
             if need_host and need_dev:
                 dev = st.n_dev < st.n_host  # alternate, host first
             else:
                 dev = need_dev              # measure the missing side
+            if dev and shadow is not None:
+                _submit_shadow(context, items, shadow)
+                return _Gate(context, items, False)
             return _Gate(context, items, dev)
         dev_wins = st.dev_spi < st.host_spi * _DEVICE_WIN_MARGIN
         st.since_explore += 1
         if st.since_explore >= _EXPLORE_EVERY:
             st.since_explore = 0
+            if not dev_wins and shadow is not None:
+                # device exploration as a background shadow
+                _submit_shadow(context, items, shadow)
+                return _Gate(context, items, False)
             return _Gate(context, items, not dev_wins)  # try the loser once
         return _Gate(context, items, dev_wins)
 

@@ -225,3 +225,39 @@ def test_congestion_injection_env(reset_devwarm):
     rt = devwarm._probe_roundtrip()
     assert rt >= 0.5
     assert time.perf_counter() - t0 >= 1.5  # 3 roundtrips, 0.5 s each
+
+
+def test_shadow_calibration_never_blocks(reset_devwarm):
+    """With a shadow thunk, device calibration must run off-thread: the
+    gate routes host immediately, and the (slow) device measurement lands
+    in the EWMA asynchronously — so a 50 s compile can never stall the
+    pipeline (observed: one blocking row-count calibration batch was 44%
+    of an 86 Mbp ONT wall)."""
+    _fake_probe(reset_devwarm, [0.004])
+    ran = []
+
+    def slow_shadow():
+        time.sleep(0.2)   # stands in for a remote XLA compile
+        ran.append(1)
+
+    t0 = time.perf_counter()
+    decisions = []
+    for _ in range(6):
+        with devwarm.gate("sh-ctx", 1000, shadow=slow_shadow) as g:
+            decisions.append(g.device)
+            time.sleep(0.001)
+    fg_wall = time.perf_counter() - t0
+    assert not any(decisions)          # calibration never on-thread
+    assert fg_wall < 0.15              # the 0.2 s shadow did not block
+    deadline = time.time() + 3
+    while time.time() < deadline:
+        tel = devwarm.telemetry()["contexts"].get("sh-ctx", {})
+        if tel.get("device_s_per_item"):
+            break
+        time.sleep(0.02)
+    assert devwarm.telemetry()["contexts"]["sh-ctx"]["device_batches"] >= 1
+    # device EWMA is 200x worse than host -> steady state stays host
+    for _ in range(4):
+        with devwarm.gate("sh-ctx", 1000, shadow=slow_shadow) as g:
+            assert g.device is False
+            time.sleep(0.001)
