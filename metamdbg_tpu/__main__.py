@@ -81,7 +81,7 @@ def main(argv=None):
                  all_assembly_graph=args.all_assembly_graph,
                  n_threads=args.threads).run()
         from metamdbg_tpu.utils import devwarm
-        if devwarm.claim_pending():
+        if devwarm.claim_pending() or devwarm.shadows_pending():
             # the background device claim blocks inside the PJRT client and
             # cannot be joined; interpreter teardown would abort in the
             # native wait ("FATAL: exception not rethrown"). All outputs

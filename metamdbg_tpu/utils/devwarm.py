@@ -267,6 +267,14 @@ def claim_pending() -> bool:
     return _thread is not None and not _ready.is_set()
 
 
+def shadows_pending() -> bool:
+    """True while a shadow-calibration thread is still measuring a device
+    batch. Same teardown hazard as claim_pending(): the thread may be
+    blocked inside PJRT and cannot be joined."""
+    with _shadow_lock:
+        return any(t.is_alive() for t in _shadows.values())
+
+
 def claim_seconds() -> "float | None":
     """Observed claim latency (None until the claim completes)."""
     return _claim_seconds
